@@ -1,0 +1,334 @@
+# Copyright 2026.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+
+"""Multi-head attention library.
+
+Behavioral parity target: /root/reference/nnet/attentions.py.
+
+Variants (all channels-last (B, T, D), boolean masks, additive -1e9 masking):
+  MultiHeadAttention            (:28-171)   vanilla scaled dot-product
+  RelPos1dMultiHeadAttention    (:215-323)  + relative sinusoidal PE with the
+                                            rel->abs skewing trick (:234-278)
+  RelPosPatch1dMultiHeadAttention (:325-382) avg-pool Q/K/V by patch_size,
+                                            attend, nearest-upsample, unpad;
+                                            mask min-pooled 2-D (:354-362)
+  RelPosMultiHeadSelfAttention  (:384-554)  Transformer-XL style with u/v
+                                            biases and KV-cache `hidden`
+  GroupedRelPosMultiHeadSelfAttention (:556-650) groups of G frames folded
+                                            into the head dim
+
+TPU-first notes: positional tables are generated per (static) sequence length
+instead of sliced from a 20k-row buffer; the E projection is computed once per
+layer call at (2T-1, D) and shared across the batch (the reference repeats it
+per batch element); everything is einsum -> MXU.
+"""
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from avec_tpu.ops.layers import Linear, Dropout, avg_pool, upsample_nearest
+from avec_tpu.ops.masks import apply_mask, min_pool_mask
+from avec_tpu.ops.pos_embeddings import (
+    relative_pos_encoding,
+    grouped_relative_pos_encoding,
+)
+
+
+def rel_to_abs(scores: jnp.ndarray, causal: bool) -> jnp.ndarray:
+    """Relative-indexed -> absolute-indexed attention scores.
+
+    Full context: (B, H, T, Th + 2T - 1) -> (B, H, T, Th + T)
+    Causal:       (B, H, T, Th + T)      -> (B, H, T, Th + T)
+
+    Exact re-derivation of the pad/flatten/reshape/slice skewing trick of
+    nnet/attentions.py:416-480 (refs: Music Transformer; Bello et al. 2019).
+    """
+    b, h, t1, t2 = scores.shape
+    if causal:
+        x = jnp.pad(scores, ((0, 0), (0, 0), (0, 0), (1, 0)))
+        x = x.reshape(b, h, t1 * (1 + t2))
+        x = jnp.pad(x, ((0, 0), (0, 0), (t2 - t1, 0)))
+        x = x.reshape(b, h, 1 + t1, t2)
+        return x[:, :, 1:]
+    x = jnp.pad(scores, ((0, 0), (0, 0), (0, 0), (0, 1)))
+    x = x.reshape(b, h, t1 * (t2 + 1))
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, t2 - t1)))
+    x = x.reshape(b, h, 1 + t1, t2)
+    return x[:, :, :t1, t1 - 1:]
+
+
+def _split_heads(x, num_heads, dim_head):
+    b, t, _ = x.shape
+    return x.reshape(b, t, num_heads, dim_head).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, t, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+
+
+def _attend(scores, v, mask, dropout: Optional[Dropout], deterministic):
+    scores = apply_mask(scores, mask)
+    att = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
+    if dropout is not None:
+        att = dropout(att, deterministic=deterministic)
+    return jnp.einsum("bhqk,bhkd->bhqd", att, v)
+
+
+class MultiHeadAttention(nn.Module):
+    """Scaled dot-product MHA (ref: nnet/attentions.py:28-171)."""
+
+    dim_model: int
+    num_heads: int
+    attn_drop_rate: float = 0.0
+    weight_init: Any = "scaled_uniform"
+    bias_init: Any = "zeros"
+    output_proj: bool = True
+    dim_kv: Optional[int] = None
+
+    def setup(self):
+        self.query_layer = Linear(self.dim_model, weight_init=self.weight_init,
+                                  bias_init=self.bias_init, name="query_layer")
+        self.key_layer = Linear(self.dim_model, weight_init=self.weight_init,
+                                bias_init=self.bias_init, name="key_layer")
+        self.value_layer = Linear(self.dim_model, weight_init=self.weight_init,
+                                  bias_init=self.bias_init, name="value_layer")
+        if self.output_proj:
+            self.output_layer = Linear(self.dim_model, weight_init=self.weight_init,
+                                       bias_init=self.bias_init, name="output_layer")
+        self.dropout = (Dropout(self.attn_drop_rate)
+                        if self.attn_drop_rate > 0 else None)
+
+    @property
+    def dim_head(self):
+        return self.dim_model // self.num_heads
+
+    def _proj_out(self, o):
+        return self.output_layer(o) if self.output_proj else o
+
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        return self.forward_qkv(x, x, x, mask, deterministic)
+
+    def forward_qkv(self, q, k, v, mask=None, deterministic: bool = True):
+        q = _split_heads(self.query_layer(q), self.num_heads, self.dim_head)
+        k = _split_heads(self.key_layer(k), self.num_heads, self.dim_head)
+        v = _split_heads(self.value_layer(v), self.num_heads, self.dim_head)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / self.dim_head ** 0.5
+        o = _attend(scores, v, mask, self.dropout, deterministic)
+        return self._proj_out(_merge_heads(o))
+
+
+class RelPos1dMultiHeadAttention(MultiHeadAttention):
+    """Relative-position MHA (ref: nnet/attentions.py:215-323).
+
+    scores = (Q K^T + rel_to_abs(Q E^T)) / sqrt(d), E = Linear(rel sinusoid).
+    """
+
+    num_pos_embeddings: int = 10000
+    causal: bool = False
+
+    def setup(self):
+        super().setup()
+        self.pos_layer = Linear(self.dim_model, name="pos_layer")
+
+    def forward_qkv(self, q_in, k_in, v_in, mask=None, deterministic: bool = True):
+        t = q_in.shape[1]
+        q = _split_heads(self.query_layer(q_in), self.num_heads, self.dim_head)
+        k = _split_heads(self.key_layer(k_in), self.num_heads, self.dim_head)
+        v = _split_heads(self.value_layer(v_in), self.num_heads, self.dim_head)
+        # (1, 2T-1, D) -> (1, H, 2T-1, d); shared across the batch.
+        e = self.pos_layer(
+            relative_pos_encoding(t, self.dim_model, self.causal).astype(q_in.dtype))
+        e = _split_heads(e, self.num_heads, self.dim_head)
+        scores_k = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+        scores_e = rel_to_abs(jnp.einsum("bhqd,xhkd->bhqk", q, e), self.causal)
+        scores = (scores_k + scores_e) / self.dim_head ** 0.5
+        o = _attend(scores, v, mask, self.dropout, deterministic)
+        return self._proj_out(_merge_heads(o))
+
+
+class RelPosPatch1dMultiHeadAttention(RelPos1dMultiHeadAttention):
+    """Patch attention (ref: nnet/attentions.py:325-382).
+
+    Inputs are avg-pooled by patch_size before the projections, attention runs
+    at T/P resolution (O(T^2/P^2)), the output is nearest-upsampled back and
+    sliced to T. The padding mask is min-pooled so a patch is valid only when
+    fully inside the sequence.
+    """
+
+    patch_size: int = 3
+
+    def forward_qkv(self, q_in, k_in, v_in, mask=None, deterministic: bool = True):
+        t = q_in.shape[1]
+        p = self.patch_size
+        pad = (-t) % p
+        if pad:
+            q_in = jnp.pad(q_in, ((0, 0), (0, pad), (0, 0)))
+            k_in = jnp.pad(k_in, ((0, 0), (0, pad), (0, 0)))
+            v_in = jnp.pad(v_in, ((0, 0), (0, pad), (0, 0)))
+            if mask is None:
+                # Chunk padding introduces invalid keys: build the mask.
+                valid = jnp.ones((1, 1, 1, t), dtype=bool)
+                mask = jnp.pad(valid, ((0, 0), (0, 0), (0, 0), (0, pad)))
+            else:
+                qpad = (0, pad if mask.shape[2] > 1 else 0)
+                mask = jnp.pad(mask, ((0, 0), (0, 0), qpad, (0, pad)))
+        if mask is not None:
+            mask = min_pool_mask(mask, p)
+        q_in = avg_pool(q_in, (p,), (p,))
+        k_in = avg_pool(k_in, (p,), (p,))
+        v_in = avg_pool(v_in, (p,), (p,))
+        o = super().forward_qkv(q_in, k_in, v_in, mask, deterministic)
+        o = upsample_nearest(o, p, axis=1)
+        return o[:, :t]
+
+
+class RelPosMultiHeadSelfAttention(MultiHeadAttention):
+    """Transformer-XL style rel-pos self-attention with u/v biases and
+    KV-cache (ref: nnet/attentions.py:384-554).
+
+    `hidden` is an optional dict {"K": (B, Th, D), "V": (B, Th, D)} of past
+    keys/values (static Th under jit); the updated cache is returned when
+    requested via `return_hidden`.
+    """
+
+    max_pos_encoding: int = 10000
+    causal: bool = False
+
+    def setup(self):
+        super().setup()
+        self.pos_layer = Linear(self.dim_model, name="pos_layer")
+        self.u = self.param("u", nn.initializers.zeros, (self.dim_model,))
+        self.v_bias = self.param("v", nn.initializers.zeros, (self.dim_model,))
+
+    def forward_qkv(self, q_in, k_in, v_in, mask=None, deterministic: bool = True,
+                    hidden=None, return_hidden: bool = False):
+        t = q_in.shape[1]
+        q = self.query_layer(q_in)
+        k = self.key_layer(k_in)
+        v = self.value_layer(v_in)
+        if hidden is not None:
+            k = jnp.concatenate([hidden["K"], k], axis=1)
+            v = jnp.concatenate([hidden["V"], v], axis=1)
+        new_hidden = {"K": jax.lax.stop_gradient(k), "V": jax.lax.stop_gradient(v)}
+        th = k.shape[1] - t
+
+        qu = _split_heads(q + self.u.astype(q.dtype), self.num_heads, self.dim_head)
+        qv = _split_heads(q + self.v_bias.astype(q.dtype), self.num_heads, self.dim_head)
+        kh = _split_heads(k, self.num_heads, self.dim_head)
+        vh = _split_heads(v, self.num_heads, self.dim_head)
+
+        e = self.pos_layer(relative_pos_encoding(
+            t, self.dim_model, self.causal, hidden_len=th).astype(q_in.dtype))
+        e = _split_heads(e, self.num_heads, self.dim_head)
+
+        scores_k = jnp.einsum("bhqd,bhkd->bhqk", qu, kh)
+        scores_e = rel_to_abs(jnp.einsum("bhqd,xhkd->bhqk", qv, e), self.causal)
+        scores = (scores_k + scores_e) / self.dim_head ** 0.5
+        o = _attend(scores, vh, mask, self.dropout, deterministic)
+        o = self._proj_out(_merge_heads(o))
+        if return_hidden:
+            return o, new_hidden
+        return o
+
+
+class GroupedRelPosMultiHeadSelfAttention(RelPosMultiHeadSelfAttention):
+    """Grouped rel-pos self-attention (ref: nnet/attentions.py:556-650).
+
+    Groups of G consecutive frames are folded into the head dim
+    (dim_head = G * D / H) so attention runs at T/G resolution; the mask is
+    subsampled [::G, ::G].
+    """
+
+    group_size: int = 3
+
+    @property
+    def dim_head(self):
+        return (self.group_size * self.dim_model) // self.num_heads
+
+    def forward_qkv(self, q_in, k_in, v_in, mask=None, deterministic: bool = True,
+                    hidden=None, return_hidden: bool = False):
+        t = q_in.shape[1]
+        g = self.group_size
+        q = self.query_layer(q_in)
+        k = self.key_layer(k_in)
+        v = self.value_layer(v_in)
+        if hidden is not None:
+            trim = hidden["K"].shape[1] % g
+            kh_full = jnp.concatenate([hidden["K"], k], axis=1)
+            vh_full = jnp.concatenate([hidden["V"], v], axis=1)
+            k = jnp.concatenate([hidden["K"][:, trim:], k], axis=1)
+            v = jnp.concatenate([hidden["V"][:, trim:], v], axis=1)
+            new_hidden = {"K": jax.lax.stop_gradient(kh_full),
+                          "V": jax.lax.stop_gradient(vh_full)}
+        else:
+            new_hidden = {"K": jax.lax.stop_gradient(k), "V": jax.lax.stop_gradient(v)}
+
+        # Chunk padding to a multiple of G (ref pad helper :140-171).
+        pad_q = (-t) % g
+        pad_kv = (-k.shape[1]) % g
+        if pad_q:
+            q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
+        if pad_kv:
+            k = jnp.pad(k, ((0, 0), (0, pad_kv), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, pad_kv), (0, 0)))
+        if mask is None and pad_kv:
+            valid = jnp.ones((1, 1, 1, k.shape[1] - pad_kv), dtype=bool)
+            mask = jnp.pad(valid, ((0, 0), (0, 0), (0, 0), (0, pad_kv)))
+        elif mask is not None and (pad_q or pad_kv):
+            qpad = (0, pad_q if mask.shape[2] > 1 else 0)
+            mask = jnp.pad(mask, ((0, 0), (0, 0), qpad, (0, pad_kv)))
+
+        th = k.shape[1] - q.shape[1]
+        qu = _split_heads(q + self.u.astype(q.dtype), self.num_heads, self.dim_head)
+        qv = _split_heads(q + self.v_bias.astype(q.dtype), self.num_heads, self.dim_head)
+        kh = _split_heads(k, self.num_heads, self.dim_head)
+        vh = _split_heads(v, self.num_heads, self.dim_head)
+
+        e = self.pos_layer(grouped_relative_pos_encoding(
+            q.shape[1], self.dim_model, g, self.causal,
+            hidden_len=th).astype(q_in.dtype))
+        e = _split_heads(e, self.num_heads, self.dim_head)
+
+        scores_k = jnp.einsum("bhqd,bhkd->bhqk", qu, kh)
+        scores_e = rel_to_abs(jnp.einsum("bhqd,xhkd->bhqk", qv, e), self.causal)
+        scores = (scores_k + scores_e) / self.dim_head ** 0.5
+
+        if mask is not None:
+            mask = mask[:, :, ::g, ::g]
+        o = _attend(scores, vh, mask, self.dropout, deterministic)
+        o = _merge_heads(o)[:, :t]
+        o = self._proj_out(o)
+        if return_hidden:
+            return o, new_hidden
+        return o
+
+
+att_dict = {
+    "MultiHeadAttention": MultiHeadAttention,
+    "RelPos1dMultiHeadAttention": RelPos1dMultiHeadAttention,
+    "RelPosPatch1dMultiHeadAttention": RelPosPatch1dMultiHeadAttention,
+    "RelPosMultiHeadSelfAttention": RelPosMultiHeadSelfAttention,
+    "GroupedRelPosMultiHeadSelfAttention": GroupedRelPosMultiHeadSelfAttention,
+}
+
+
+def make_attention(dim_model: int, att_params: dict) -> nn.Module:
+    """Instantiate from the reference's {'class': .., 'params': ..} spec
+    (consumed at nnet/modules.py:312)."""
+    cls = att_dict[att_params["class"]]
+    params = dict(att_params.get("params", {}))
+    # The reference configs pass weight_init/bias_init="default" to mean the
+    # torch default; our Linear already defaults to that, but the reference
+    # attention default is "scaled_uniform" — so "default" must be forwarded.
+    if "num_pos_embeddings" in params:
+        params["num_pos_embeddings"] = params.pop("num_pos_embeddings")
+    return cls(dim_model=dim_model, **params)

@@ -1,0 +1,335 @@
+# Copyright 2026.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+
+"""Layer library: Linear / ConvNd / pooling / norms, channels-last native.
+
+Behavioral parity targets:
+  /root/reference/nnet/layers.py (Linear :29, Conv1d/2d/3d :82/200/326,
+  pooling :723-1011, Upsample :1013, Embedding :1134) and
+  /root/reference/nnet/normalizations.py (LayerNorm :27, BatchNorm :42-170,
+  SyncBatchNorm :172-249).
+
+TPU-first deltas from the reference:
+  * Channels-last is THE layout (TPU/XLA native); the reference's
+    `channels_last` permute machinery (layers.py:1199) disappears entirely.
+  * Padding policies ("valid" / "same" / "same-left" / "causal") reproduce the
+    reference's explicit pre-padding: same = (k-1)//2 left, k//2 right
+    (layers.py:127-137), causal = (k-1, 0).
+  * SyncBatchNorm needs no special module: under pjit/GSPMD with the batch
+    axis sharded, the batch-stat reductions inside BatchNorm compile to
+    cross-replica collectives automatically — exactly the semantics of the
+    reference's SyncBatchNorm conversion (nnet/model.py:59-61).
+"""
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+import flax.linen as nn
+
+from avec_tpu.ops.inits import get_init, torch_default_bias, zeros_init, ones_init
+
+PaddingLike = Union[str, int, Sequence[int]]
+
+
+def _tuple(v, n):
+    if isinstance(v, (tuple, list)):
+        assert len(v) == n
+        return tuple(v)
+    return (v,) * n
+
+
+def conv_padding(kernel_size: Tuple[int, ...], padding: PaddingLike):
+    """Resolve a reference padding policy to explicit (lo, hi) pairs."""
+    n = len(kernel_size)
+    if isinstance(padding, str):
+        if padding == "valid":
+            return tuple((0, 0) for _ in range(n))
+        if padding == "same":
+            return tuple(((k - 1) // 2, k // 2) for k in kernel_size)
+        if padding == "same-left":
+            return tuple((k // 2, (k - 1) // 2) for k in kernel_size)
+        if padding == "causal":
+            return tuple((k - 1, 0) for k in kernel_size)
+        raise ValueError(f"unknown padding policy: {padding}")
+    pads = _tuple(padding, n)
+    return tuple((p, p) for p in pads)
+
+
+class Linear(nn.Module):
+    """Dense layer with the reference's init registry (nnet/layers.py:29-80).
+
+    weight_init/bias_init accept registry names; "default" reproduces the
+    torch nn.Linear default U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
+    """
+
+    features: int
+    use_bias: bool = True
+    weight_init: Any = "default"
+    bias_init: Any = "default"
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        kernel = self.param("kernel", get_init(self.weight_init),
+                            (fan_in, self.features))
+        y = jnp.dot(x.astype(self.dtype or x.dtype), kernel.astype(x.dtype))
+        if self.use_bias:
+            b_init = (torch_default_bias(fan_in) if self.bias_init in (None, "default")
+                      else get_init(self.bias_init))
+            bias = self.param("bias", b_init, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class Conv(nn.Module):
+    """N-d convolution, channels-last, reference padding policies.
+
+    Mirrors nnet/layers.py Conv1d/2d/3d: explicit zero pre-padding + VALID
+    conv, torch-default init unless overridden via registry names.
+    """
+
+    features: int
+    kernel_size: Union[int, Sequence[int]]
+    ndim: int = 1
+    strides: Union[int, Sequence[int]] = 1
+    padding: PaddingLike = "same"
+    groups: int = 1
+    use_bias: bool = True
+    weight_init: Any = "default"
+    bias_init: Any = "default"
+
+    @nn.compact
+    def __call__(self, x):
+        ks = _tuple(self.kernel_size, self.ndim)
+        strides = _tuple(self.strides, self.ndim)
+        pads = conv_padding(ks, self.padding)
+        in_ch = x.shape[-1]
+        assert in_ch % self.groups == 0
+        kernel_shape = ks + (in_ch // self.groups, self.features)
+        # torch fan_in for conv = (in_ch / groups) * prod(kernel).
+        kernel = self.param("kernel", get_init(self.weight_init), kernel_shape)
+        dn = lax.conv_dimension_numbers(
+            x.shape, kernel_shape,
+            ("NHWC"[:1] + "DHW"[3 - self.ndim:] + "C",
+             "DHW"[3 - self.ndim:] + "IO",
+             "NHWC"[:1] + "DHW"[3 - self.ndim:] + "C"))
+        y = lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), window_strides=strides, padding=pads,
+            dimension_numbers=dn, feature_group_count=self.groups,
+            preferred_element_type=x.dtype)
+        if self.use_bias:
+            fan_in = (in_ch // self.groups) * int(np.prod(ks))
+            b_init = (torch_default_bias(fan_in) if self.bias_init in (None, "default")
+                      else get_init(self.bias_init))
+            bias = self.param("bias", b_init, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class ConvTranspose(nn.Module):
+    """N-d transposed convolution, channels-last (nnet/layers.py:505-721)."""
+
+    features: int
+    kernel_size: Union[int, Sequence[int]]
+    ndim: int = 1
+    strides: Union[int, Sequence[int]] = 1
+    padding: Union[int, Sequence[int]] = 0
+    output_padding: Union[int, Sequence[int]] = 0
+    use_bias: bool = True
+    weight_init: Any = "default"
+    bias_init: Any = "default"
+
+    @nn.compact
+    def __call__(self, x):
+        ks = _tuple(self.kernel_size, self.ndim)
+        strides = _tuple(self.strides, self.ndim)
+        pads = _tuple(self.padding, self.ndim)
+        out_pads = _tuple(self.output_padding, self.ndim)
+        in_ch = x.shape[-1]
+        kernel_shape = ks + (in_ch, self.features)
+        kernel = self.param("kernel", get_init(self.weight_init), kernel_shape)
+        # torch ConvTranspose output: (T-1)*s - 2p + k + output_padding.
+        pad_cfg = tuple((k - 1 - p, k - 1 - p + op)
+                        for k, p, op in zip(ks, pads, out_pads))
+        dn = lax.conv_dimension_numbers(
+            x.shape, kernel_shape,
+            ("N" + "DHW"[3 - self.ndim:] + "C",
+             "DHW"[3 - self.ndim:] + "IO",
+             "N" + "DHW"[3 - self.ndim:] + "C"))
+        y = lax.conv_general_dilated(
+            x, jnp.flip(kernel, axis=tuple(range(self.ndim))).astype(x.dtype),
+            window_strides=(1,) * self.ndim, padding=pad_cfg,
+            lhs_dilation=strides, dimension_numbers=dn,
+            preferred_element_type=x.dtype)
+        if self.use_bias:
+            fan_in = in_ch * int(np.prod(ks))
+            b_init = (torch_default_bias(fan_in) if self.bias_init in (None, "default")
+                      else get_init(self.bias_init))
+            bias = self.param("bias", b_init, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+def max_pool(x, kernel_size, strides=None, padding: PaddingLike = "valid"):
+    """Channels-last max pool with reference padding policies.
+
+    Padded positions use -inf so they never win (torch pads with -inf too).
+    """
+    n = x.ndim - 2
+    ks = _tuple(kernel_size, n)
+    strides = _tuple(strides if strides is not None else kernel_size, n)
+    pads = ((0, 0),) + conv_padding(ks, padding) + ((0, 0),)
+    return lax.reduce_window(x, -jnp.inf if x.dtype.kind == "f" else jnp.iinfo(x.dtype).min,
+                             lax.max, (1,) + ks + (1,), (1,) + strides + (1,), pads)
+
+
+def avg_pool(x, kernel_size, strides=None, padding: PaddingLike = "valid"):
+    """Channels-last average pool (count includes padding, as torch default)."""
+    n = x.ndim - 2
+    ks = _tuple(kernel_size, n)
+    strides = _tuple(strides if strides is not None else kernel_size, n)
+    pads = ((0, 0),) + conv_padding(ks, padding) + ((0, 0),)
+    summed = lax.reduce_window(x, jnp.zeros((), x.dtype), lax.add,
+                               (1,) + ks + (1,), (1,) + strides + (1,), pads)
+    return summed / np.prod(ks)
+
+
+def upsample_nearest(x, scale_factor: int, axis: int = 1):
+    """Nearest-neighbor upsample along one axis (nnet/layers.py:1013-1047)."""
+    return jnp.repeat(x, scale_factor, axis=axis)
+
+
+def global_avg_pool(x, axes=None):
+    """Mean over all spatial axes (nnet/layers.py GlobalAvgPool)."""
+    if axes is None:
+        axes = tuple(range(1, x.ndim - 1))
+    return x.mean(axis=axes)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm over the last axis (nnet/normalizations.py:27-40).
+
+    Stats in fp32 for bf16 inputs; affine params initialized to ones/zeros.
+    """
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        scale = self.param("scale", ones_init, (dim,))
+        bias = self.param("bias", zeros_init, (dim,))
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=-1, keepdims=True)
+        var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+        y = (xf - mean) * lax.rsqrt(var + self.epsilon)
+        return (y.astype(x.dtype) * scale.astype(x.dtype)) + bias.astype(x.dtype)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm over all non-channel axes (nnet/normalizations.py:42-170).
+
+    torch defaults: eps=1e-5, momentum=0.1 (-> linen momentum 0.9).
+    `frozen=True` forces eval-mode statistics even in training, matching the
+    reference's frozen flag (:79-87). Under a sharded batch axis, the batch
+    reductions become cross-replica collectives (sync-BN parity, see module
+    docstring).
+    """
+
+    use_running_average: Optional[bool] = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    frozen: bool = False
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        use_ra = nn.merge_param("use_running_average",
+                                self.use_running_average, use_running_average)
+        use_ra = use_ra or self.frozen
+        dim = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((dim,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((dim,), jnp.float32))
+        scale = self.param("scale", ones_init, (dim,))
+        bias = self.param("bias", zeros_init, (dim,))
+        axes = tuple(range(x.ndim - 1))
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            mean = xf.mean(axis=axes)
+            var = ((xf - mean) ** 2).mean(axis=axes)
+            if not self.is_initializing():
+                n = np.prod([x.shape[a] for a in axes])
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * unbiased)
+        y = (x.astype(jnp.float32) - mean) * lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(x.dtype)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm, channels-last (nnet/normalizations.py:285-304)."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(num_groups=self.num_groups, epsilon=self.epsilon)(x)
+
+
+class Embedding(nn.Module):
+    """Token embedding (nnet/layers.py:1134-1181). torch default init N(0,1)."""
+
+    num_embeddings: int
+    features: int
+    padding_idx: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, ids):
+        def init(key, shape, dtype=jnp.float32):
+            table = jax.random.normal(key, shape, dtype)
+            if self.padding_idx is not None:
+                table = table.at[self.padding_idx].set(0.0)
+            return table
+
+        table = self.param("embedding", init, (self.num_embeddings, self.features))
+        return jnp.take(table, ids, axis=0)
+
+
+class Dropout(nn.Module):
+    """Dropout keyed off the 'dropout' rng collection."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, p=keep, shape=x.shape)
+        return jnp.where(mask, x / keep, jnp.zeros((), x.dtype))
+
+
+norm_dict = {
+    "LayerNorm": LayerNorm,
+    "BatchNorm1d": BatchNorm,
+    "BatchNorm2d": BatchNorm,
+    "BatchNorm3d": BatchNorm,
+    "GroupNorm": GroupNorm,
+    None: None,
+}
