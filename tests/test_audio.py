@@ -32,12 +32,12 @@ def test_power_spectrogram_matches_torch():
     want = _torch_power_spec(x).transpose(0, 2, 1)  # -> (B, T', F)
     assert ours.shape == want.shape == (2, 3200 // 160 + 1, 257)
     # fp32 DFT vs fp64 torch: scale-aware tolerance.
-    np.testing.assert_allclose(ours, want, rtol=1e-1, atol=1e-4 * want.max())
-    # And the quantity the model actually consumes: log(mel + 1e-9)-ish scale.
-    np.testing.assert_allclose(np.log(ours + 1e-3), np.log(want + 1e-3), atol=1e-1)
-    # Bulk accuracy: median relative error should be tiny.
-    rel = np.abs(ours - want) / (np.abs(want) + 1e-6)
+    # fp32 DFT vs fp64 torch: scale-aware absolute tolerance, plus tight
+    # bounds on typical relative error (near-zero bins are noise-dominated).
+    assert np.abs(ours - want).max() < 1e-4 * want.max()
+    rel = np.abs(ours - want) / (np.abs(want) + 1e-3)
     assert np.median(rel) < 1e-4
+    assert np.percentile(rel, 99) < 2e-2
 
 
 def test_mel_filterbank_matches_librosa_formula():
