@@ -1,0 +1,373 @@
+# Copyright 2026.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+
+"""Conformer building blocks and the InterCTC conformer stack.
+
+Behavioral parity targets:
+  FeedForwardModule      /root/reference/nnet/modules.py:257-289
+  AttentionModule        /root/reference/nnet/modules.py:291-339
+  ConvolutionModule      /root/reference/nnet/modules.py:341-385
+  InterCTCResModule      /root/reference/nnet/modules.py:387-400
+  FusionModule           /root/reference/nnet/modules.py:402-425
+  ConformerBlock         /root/reference/nnet/blocks.py:208-306
+  ConformerInterCTC      /root/reference/nnet/networks.py:202-307
+  MultiLayerPerceptron   /root/reference/nnet/modules.py:29-68
+  ConvNeuralNetwork      /root/reference/nnet/modules.py:70-130
+
+All sequence tensors are (B, T, D) channels-last; masks are boolean
+(B, 1, 1|T, T); lengths are int32 (B,). The whole stack is static-shape and
+jit-compatible; strided blocks shrink the padded T by exactly stride so the
+reference's mask[::s, ::s] / (len-1)//s+1 semantics hold
+(networks.py:294-302).
+"""
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from avec_tpu.ops.activations import get_act, glu
+from avec_tpu.ops.attention import make_attention
+from avec_tpu.ops.layers import (
+    BatchNorm,
+    Conv,
+    Dropout,
+    LayerNorm,
+    Linear,
+    max_pool,
+    norm_dict,
+)
+from avec_tpu.ops.masks import downsample_mask, strided_lengths
+
+
+class FeedForwardModule(nn.Module):
+    """Pre-norm FFN: LN -> Linear(4x) -> act -> drop -> Linear -> drop.
+
+    ref: nnet/modules.py:257-289 (eps 1e-6, inner_dropout configurable).
+    """
+
+    dim_model: int
+    dim_ffn: int
+    drop_rate: float
+    act_fun: Any = "Swish"
+    inner_dropout: bool = True
+    prenorm: bool = True
+    weight_init: Any = "default"
+    bias_init: Any = "default"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.prenorm:
+            x = LayerNorm(epsilon=1e-6)(x)
+        x = Linear(self.dim_ffn, weight_init=self.weight_init,
+                   bias_init=self.bias_init)(x)
+        x = get_act(self.act_fun)(x)
+        if self.inner_dropout:
+            x = Dropout(self.drop_rate)(x, deterministic=deterministic)
+        x = Linear(self.dim_model, weight_init=self.weight_init,
+                   bias_init=self.bias_init)(x)
+        return Dropout(self.drop_rate)(x, deterministic=deterministic)
+
+
+class AttentionModule(nn.Module):
+    """Pre-norm attention + dropout (+ optional residual).
+
+    ref: nnet/modules.py:291-339.
+    """
+
+    dim_model: int
+    att_params: Dict
+    drop_rate: float
+    residual: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        x_res = x
+        x = LayerNorm(epsilon=1e-6)(x)
+        x = make_attention(self.dim_model, self.att_params)(
+            x, mask=mask, deterministic=deterministic)
+        x = Dropout(self.drop_rate)(x, deterministic=deterministic)
+        if self.residual:
+            x = x + x_res
+        return x
+
+
+class ConvolutionModule(nn.Module):
+    """Conformer convolution module, channels-last.
+
+    LN -> pointwise (2*expand) -> GLU -> depthwise(k, stride, groups=expand)
+    -> BatchNorm -> act -> pointwise -> dropout.
+    ref: nnet/modules.py:341-385. The depthwise conv carries the block's
+    stride (progressive time downsampling, SURVEY §5).
+    """
+
+    dim_model: int
+    dim_expand: int
+    drop_rate: float
+    stride: int = 1
+    act_fun: Any = "Swish"
+    kernel_size: int = 15
+    padding: str = "same"
+    batch_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = LayerNorm(epsilon=1e-6)(x)
+        x = Conv(2 * self.dim_expand, kernel_size=1, ndim=1)(x)
+        x = glu(x, axis=-1)
+        x = Conv(self.dim_expand, kernel_size=self.kernel_size, ndim=1,
+                 strides=self.stride, padding=self.padding,
+                 groups=self.dim_expand)(x)
+        if self.batch_norm:
+            x = BatchNorm()(x, use_running_average=deterministic)
+        else:
+            x = LayerNorm()(x)
+        x = get_act(self.act_fun)(x)
+        x = Conv(self.dim_expand, kernel_size=1, ndim=1)(x)
+        return Dropout(self.drop_rate)(x, deterministic=deterministic)
+
+
+class InterCTCResModule(nn.Module):
+    """Intermediate-CTC residual conditioning (ref: nnet/modules.py:387-400).
+
+    logits = proj_1(x); x += proj_2(softmax(logits)).
+    """
+
+    dim_model: int
+    vocab_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        logits = Linear(self.vocab_size, name="proj_1")(x)
+        probs = jnp.asarray(
+            nn.softmax(logits.astype(jnp.float32), axis=-1), dtype=x.dtype)
+        x = x + Linear(self.dim_model, name="proj_2")(probs)
+        return x, logits
+
+
+class FusionModule(nn.Module):
+    """Audio-visual fusion MLP (ref: nnet/modules.py:402-425).
+
+    concat(audio, video) -> Linear(4*f_dim) -> Swish -> Linear(f_dim).
+    """
+
+    a_dim_model: int = 360
+    v_dim_model: int = 360
+    f_dim_model: int = 360
+    ff_ratio: int = 4
+
+    @nn.compact
+    def __call__(self, audio, video):
+        x = jnp.concatenate([audio, video], axis=-1)
+        x = Linear(self.ff_ratio * self.f_dim_model)(x)
+        x = get_act("Swish")(x)
+        return Linear(self.f_dim_model)(x)
+
+
+class ConformerBlock(nn.Module):
+    """x += 1/2 ff1; x += MHSA(LN(x)); x = conv_res(x) + ConvModule(x);
+    x += 1/2 ff2; x = LN(x).
+
+    ref: nnet/blocks.py:208-306. A strided block downsamples inside the conv
+    module; the residual is a stride-matched MaxPool (same dim) or strided
+    pointwise conv (dim change) (:273-284).
+    """
+
+    dim_model: int
+    dim_expand: int
+    ff_ratio: int
+    att_params: Dict
+    drop_rate: float
+    conv_stride: int = 1
+    kernel_size: int = 15
+    conv_padding: str = "same"
+    inner_dropout: bool = True
+    act_fun: Any = "Swish"
+    batch_norm: bool = True
+    block_norm: bool = True
+
+    @property
+    def stride(self):
+        return self.conv_stride
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        x = x + 0.5 * FeedForwardModule(
+            dim_model=self.dim_model, dim_ffn=self.dim_model * self.ff_ratio,
+            drop_rate=self.drop_rate, act_fun=self.act_fun,
+            inner_dropout=self.inner_dropout, name="ff_module1")(
+                x, deterministic=deterministic)
+
+        x = x + AttentionModule(
+            dim_model=self.dim_model, att_params=self.att_params,
+            drop_rate=self.drop_rate, residual=False, name="self_att_module")(
+                x, mask=mask, deterministic=deterministic)
+
+        conv_out = ConvolutionModule(
+            dim_model=self.dim_model, dim_expand=self.dim_expand,
+            drop_rate=self.drop_rate, stride=self.conv_stride,
+            act_fun=self.act_fun, kernel_size=self.kernel_size,
+            padding=self.conv_padding, batch_norm=self.batch_norm,
+            name="conv_module")(x, deterministic=deterministic)
+
+        if self.dim_model != self.dim_expand:
+            res = Conv(self.dim_expand, kernel_size=1, ndim=1,
+                       strides=self.conv_stride, name="conv_res")(x)
+        elif self.conv_stride > 1:
+            res = max_pool(x, (1,), (self.conv_stride,))
+        else:
+            res = x
+        x = res + conv_out
+
+        x = x + 0.5 * FeedForwardModule(
+            dim_model=self.dim_expand, dim_ffn=self.dim_expand * self.ff_ratio,
+            drop_rate=self.drop_rate, act_fun=self.act_fun,
+            inner_dropout=self.inner_dropout, name="ff_module2")(
+                x, deterministic=deterministic)
+
+        if self.block_norm:
+            x = LayerNorm(epsilon=1e-6)(x)
+        return x
+
+
+class ConformerInterCTC(nn.Module):
+    """Multi-stage Conformer stack with interleaved InterCTC modules.
+
+    ref: nnet/networks.py:202-307. Stage boundaries stride by conv_stride and
+    expand dims; InterCTC outputs are keyed "{loss_prefix}_{i}" with 0-based
+    block index i (networks.py:289). Masks/lengths are re-strided after each
+    strided block.
+    """
+
+    dim_model: Union[int, Sequence[int]]
+    num_blocks: Union[int, Sequence[int]]
+    interctc_blocks: Sequence[int]
+    vocab_size: int
+    loss_prefix: str = "ctc"
+    att_params: Any = None
+    kernel_size: int = 15
+    conv_padding: str = "same"
+    ff_ratio: int = 4
+    drop_rate: float = 0.1
+    conv_stride: Union[int, Sequence[int]] = 2
+    batch_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, lengths=None, mask=None, deterministic: bool = True):
+        dims = [self.dim_model] if isinstance(self.dim_model, int) else list(self.dim_model)
+        nblocks = [self.num_blocks] if isinstance(self.num_blocks, int) else list(self.num_blocks)
+
+        x = Dropout(self.drop_rate)(x, deterministic=deterministic)
+
+        interctc_outputs = {}
+        i = 0
+        for stage_id in range(len(nblocks)):
+            for block_id in range(nblocks[stage_id]):
+                down_block = (block_id == nblocks[stage_id] - 1
+                              and stage_id < len(nblocks) - 1)
+                stride = 1
+                if down_block:
+                    stride = (self.conv_stride[stage_id]
+                              if isinstance(self.conv_stride, (list, tuple))
+                              else self.conv_stride)
+                att = (self.att_params[stage_id]
+                       if isinstance(self.att_params, list) else self.att_params)
+                dim_out = dims[stage_id + (1 if down_block else 0)]
+
+                x = ConformerBlock(
+                    dim_model=dims[stage_id],
+                    dim_expand=dim_out,
+                    ff_ratio=self.ff_ratio,
+                    att_params=att,
+                    drop_rate=self.drop_rate,
+                    conv_stride=stride,
+                    kernel_size=self.kernel_size,
+                    conv_padding=self.conv_padding,
+                    batch_norm=self.batch_norm,
+                    name=f"block_{i}")(x, mask=mask, deterministic=deterministic)
+
+                logits = None
+                if (i + 1) in list(self.interctc_blocks):
+                    x, logits = InterCTCResModule(
+                        dim_model=dim_out, vocab_size=self.vocab_size,
+                        name=f"interctc_{i}")(x)
+                    key = f"{self.loss_prefix}_{i}"
+
+                if stride > 1:
+                    mask = downsample_mask(mask, stride)
+                    if lengths is not None:
+                        lengths = strided_lengths(lengths, stride)
+
+                if logits is not None:
+                    interctc_outputs[key] = [logits, lengths]
+                i += 1
+
+        return x, lengths, interctc_outputs
+
+
+class MultiLayerPerceptron(nn.Module):
+    """Linear -> norm -> act -> dropout stack (ref: nnet/modules.py:29-68)."""
+
+    dim_layers: Sequence[int]
+    act_fun: Any = "ReLU"
+    norm: Any = None
+    drop_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        for i, dim in enumerate(self.dim_layers):
+            x = Linear(dim, name=f"linear_{i}")(x)
+            if self.norm is not None:
+                x = norm_dict[self.norm]()(x)
+            x = get_act(self.act_fun)(x)
+            if self.drop_rate > 0:
+                x = Dropout(self.drop_rate)(x, deterministic=deterministic)
+        return x
+
+
+class ConvNeuralNetwork(nn.Module):
+    """Conv -> norm -> act -> dropout stack (ref: nnet/modules.py:70-130).
+
+    Channels-last. Each layer updates lengths by (len-1)//2+1 — the
+    reference hardcodes stride-2 length updates (modules.py:128).
+    """
+
+    dim_layers: Sequence[int]
+    kernel_size: Any
+    ndim: int = 2
+    strides: Any = 1
+    norm: Any = None
+    act_fun: Any = "ReLU"
+    drop_rate: float = 0.0
+    padding: str = "same"
+    weight_init: Any = "default"
+    bias_init: Any = "default"
+
+    @nn.compact
+    def __call__(self, x, lengths=None, deterministic: bool = True):
+        dims = ([self.dim_layers] if isinstance(self.dim_layers, int)
+                else list(self.dim_layers))
+        for i, dim in enumerate(dims):
+            ks = (self.kernel_size[i] if isinstance(self.kernel_size, list)
+                  else self.kernel_size)
+            st = self.strides[i] if isinstance(self.strides, list) else self.strides
+            x = Conv(dim, kernel_size=ks, ndim=self.ndim, strides=st,
+                     padding=self.padding, weight_init=self.weight_init,
+                     bias_init=self.bias_init, name=f"conv_{i}")(x)
+            if self.norm is not None:
+                norm_cls = norm_dict[self.norm] if isinstance(self.norm, str) else self.norm
+                if norm_cls is BatchNorm:
+                    x = norm_cls()(x, use_running_average=deterministic)
+                else:
+                    x = norm_cls()(x)
+            x = get_act(self.act_fun)(x)
+            if self.drop_rate > 0:
+                x = Dropout(self.drop_rate)(x, deterministic=deterministic)
+            if lengths is not None:
+                lengths = (lengths - 1) // 2 + 1  # ref modules.py:128
+        return x if lengths is None else (x, lengths)

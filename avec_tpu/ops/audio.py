@@ -98,6 +98,9 @@ def power_spectrogram(x: jnp.ndarray, n_fft: int = 512, win_length: int = 400,
         window_strides=(hop_length,), padding="VALID",
         dimension_numbers=("NHC", "HIO", "NHC"),
         preferred_element_type=jnp.float32,
+        # True fp32: the fbank path is AMP-exempt in the reference
+        # (preprocessing.py:59-73); avoid bf16 accumulation passes.
+        precision=lax.Precision.HIGHEST,
     )
     n_freq = n_fft // 2 + 1
     real, imag = out[..., :n_freq], out[..., n_freq:]
@@ -130,7 +133,8 @@ class AudioPreprocessing:
         dtype = x.dtype
         spec = power_spectrogram(x, self.n_fft, self.win_length, self.hop_length)
         mel = jnp.einsum("btf,fm->btm", spec, self._mel,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST)
         out = jnp.log(mel + 1e-9)
         if self.normalize:
             out = (out - self.mean) / self.std
