@@ -1,0 +1,107 @@
+# Copyright 2026.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+
+"""Synthetic datasets for tests, smoke configs and benchmarks.
+
+Sample tuple layouts match the LRS dataset contract
+(/root/reference/nnet/datasets.py:326-366): 6-tuple
+(video, audio, label, video_len, audio_len, label_len), so the real CollateFn
+specs from the reference configs work unchanged.
+"""
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from avec_tpu.data.dataset import Dataset
+
+
+class SyntheticAVDataset(Dataset):
+    """Random AV samples with LRS-shaped tuples."""
+
+    def __init__(self, num_samples=32, audio_len=16000, video_fps_len=None,
+                 label_len=8, vocab_size=256, crop_size=(88, 88),
+                 load_video=True, load_audio=True, seed=0, batch_size=None,
+                 collate_fn=None, shuffle=True):
+        super().__init__(batch_size=batch_size, collate_fn=collate_fn,
+                         shuffle=shuffle)
+        self.num_samples = num_samples
+        self.audio_len = audio_len
+        # align_video_to_audio parity: Tv = Ta // 640 + 1
+        # (ref transforms.py:169-180).
+        self.video_len = (video_fps_len if video_fps_len is not None
+                          else audio_len // 640 + 1)
+        self.label_len = label_len
+        self.vocab_size = vocab_size
+        self.crop_size = crop_size
+        self.load_video = load_video
+        self.load_audio = load_audio
+        self.seed = seed
+
+    def __len__(self):
+        return self.num_samples
+
+    def __getitem__(self, idx):
+        rng = np.random.RandomState(self.seed + idx)
+        a_len = rng.randint(self.audio_len // 2, self.audio_len + 1)
+        a_len = max(a_len, 3200)
+        v_len = a_len // 640 + 1
+        u = rng.randint(1, self.label_len + 1)
+        video = (rng.rand(v_len, *self.crop_size, 1).astype(np.float32)
+                 if self.load_video else np.zeros((1,), np.float32))
+        audio = (rng.randn(a_len).astype(np.float32) * 0.1
+                 if self.load_audio else np.zeros((1,), np.float32))
+        label = rng.randint(1, self.vocab_size, size=u).astype(np.int32)
+        return (video, audio, label,
+                np.int32(v_len), np.int32(a_len), np.int32(u))
+
+
+class SyntheticLMDataset(Dataset):
+    """Random token sequences: sample = (ids,) (CorpusLM contract,
+    ref datasets.py:602-628)."""
+
+    def __init__(self, num_samples=64, max_length=32, vocab_size=100, seed=0,
+                 batch_size=None, collate_fn=None, shuffle=True):
+        super().__init__(batch_size=batch_size, collate_fn=collate_fn,
+                         shuffle=shuffle)
+        self.num_samples = num_samples
+        self.max_length = max_length
+        self.vocab_size = vocab_size
+        self.seed = seed
+
+    def __len__(self):
+        return self.num_samples
+
+    def __getitem__(self, idx):
+        rng = np.random.RandomState(self.seed + idx)
+        n = rng.randint(4, self.max_length)
+        return (rng.randint(1, self.vocab_size, size=n).astype(np.int32),)
+
+
+class SyntheticClassificationDataset(Dataset):
+    """LRW-style fixed-length video classification: (video, label)."""
+
+    def __init__(self, num_samples=16, video_len=29, crop_size=(88, 88),
+                 num_classes=500, seed=0, batch_size=None, collate_fn=None,
+                 shuffle=True):
+        super().__init__(batch_size=batch_size, collate_fn=collate_fn,
+                         shuffle=shuffle)
+        self.num_samples = num_samples
+        self.video_len = video_len
+        self.crop_size = crop_size
+        self.num_classes = num_classes
+        self.seed = seed
+
+    def __len__(self):
+        return self.num_samples
+
+    def __getitem__(self, idx):
+        rng = np.random.RandomState(self.seed + idx)
+        video = rng.rand(self.video_len, *self.crop_size, 1).astype(np.float32)
+        label = np.int32(rng.randint(self.num_classes))
+        return (video, label)

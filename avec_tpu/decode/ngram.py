@@ -1,0 +1,93 @@
+# Copyright 2026.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+
+"""ARPA n-gram language model loader/scorer (KenLM replacement).
+
+The reference consumes a KenLM 6-gram ARPA inside the C++ ctcdecode beam
+decoder (/root/reference/nnet/decoders.py:185-197, SURVEY §2.4). Here the
+ARPA file is parsed directly; scoring uses standard Katz backoff:
+
+  P(w | h) = p(h, w)                       if (h, w) in table
+           = backoff(h) + P(w | h[1:])     otherwise   (log10 domain)
+
+Tokens are the decoder's remapped vocabulary words (chr(idx + offset),
+decoders.py:187), so the same ARPA files score identically.
+"""
+
+import gzip
+import math
+from typing import Dict, List, Sequence, Tuple
+
+LOG10_NEG_INF = -99.0
+
+
+class ArpaLM:
+    """In-memory backoff n-gram LM from an ARPA file (log10 probs)."""
+
+    def __init__(self, path: str):
+        self.probs: Dict[Tuple[str, ...], float] = {}
+        self.backoffs: Dict[Tuple[str, ...], float] = {}
+        self.order = 0
+        self._parse(path)
+
+    def _parse(self, path: str):
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rt", encoding="utf-8", errors="replace") as f:
+            section = 0
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                if line.startswith("\\") and "grams:" in line:
+                    section = int(line[1:].split("-")[0])
+                    self.order = max(self.order, section)
+                    continue
+                if line.startswith("\\"):
+                    section = 0
+                    continue
+                if section == 0:
+                    continue
+                parts = line.split("\t")
+                if len(parts) < 2:
+                    parts = line.split()
+                    if len(parts) < section + 1:
+                        continue
+                    logp = float(parts[0])
+                    ngram = tuple(parts[1:1 + section])
+                    backoff = (float(parts[1 + section])
+                               if len(parts) > 1 + section else None)
+                else:
+                    logp = float(parts[0])
+                    ngram = tuple(parts[1].split())
+                    backoff = float(parts[2]) if len(parts) > 2 else None
+                self.probs[ngram] = logp
+                if backoff is not None:
+                    self.backoffs[ngram] = backoff
+
+    def log10_cond(self, word: str, history: Sequence[str]) -> float:
+        """log10 P(word | history) with backoff."""
+        history = tuple(history[-(self.order - 1):]) if self.order > 1 else ()
+        while True:
+            ngram = history + (word,)
+            if ngram in self.probs:
+                return self.probs[ngram]
+            if not history:
+                return self.probs.get((word,), LOG10_NEG_INF)
+            bo = self.backoffs.get(history, 0.0)
+            history = history[1:]
+            if bo != 0.0:
+                return bo + self.log10_cond(word, history)
+
+    def score_sequence(self, words: Sequence[str], bos: bool = True) -> float:
+        """Total log10 prob of a word sequence."""
+        history: List[str] = ["<s>"] if bos else []
+        total = 0.0
+        for w in words:
+            total += self.log10_cond(w, history)
+            history.append(w)
+        return total

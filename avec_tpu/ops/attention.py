@@ -66,8 +66,11 @@ def rel_to_abs(scores: jnp.ndarray, causal: bool) -> jnp.ndarray:
 
 
 def _split_heads(x, num_heads, dim_head):
-    b, t, _ = x.shape
-    return x.reshape(b, t, num_heads, dim_head).transpose(0, 2, 1, 3)
+    # (B, T, D) -> (B, H, T', d). For grouped attention d = G*D/H, so T' is
+    # inferred (T' = T/G): the reshape folds groups of frames into the head
+    # dim, matching the reference's reshape(B, -1, H, d) (attentions.py:613).
+    b = x.shape[0]
+    return x.reshape(b, -1, num_heads, dim_head).transpose(0, 2, 1, 3)
 
 
 def _merge_heads(x):
@@ -305,7 +308,10 @@ class GroupedRelPosMultiHeadSelfAttention(RelPosMultiHeadSelfAttention):
         if mask is not None:
             mask = mask[:, :, ::g, ::g]
         o = _attend(scores, vh, mask, self.dropout, deterministic)
-        o = _merge_heads(o)[:, :t]
+        # (B, H, T/G, G*D/H) -> (B, T, D): groups unfold back into time
+        # (ref attentions.py:642).
+        b = o.shape[0]
+        o = o.transpose(0, 2, 1, 3).reshape(b, -1, self.dim_model)[:, :t]
         o = self._proj_out(o)
         if return_hidden:
             return o, new_hidden

@@ -297,11 +297,15 @@ class Embedding(nn.Module):
     num_embeddings: int
     features: int
     padding_idx: Optional[int] = None
+    embedding_init: Any = None  # init registry name; default torch N(0, 1)
 
     @nn.compact
     def __call__(self, ids):
         def init(key, shape, dtype=jnp.float32):
-            table = jax.random.normal(key, shape, dtype)
+            if self.embedding_init is not None:
+                table = get_init(self.embedding_init)(key, shape, dtype)
+            else:
+                table = jax.random.normal(key, shape, dtype)
             if self.padding_idx is not None:
                 table = table.at[self.padding_idx].set(0.0)
             return table

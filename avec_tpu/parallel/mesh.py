@@ -1,0 +1,123 @@
+# Copyright 2026.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+
+"""Device mesh + sharding utilities (the NCCL/DDP replacement).
+
+The reference's distribution stack (torch DDP over NCCL, SyncBatchNorm,
+DistributedSampler, all_reduce/all_gather_object — SURVEY §2.2-2.3) maps to:
+
+  * one global `Mesh` with a 'data' axis (room for a 'model' axis kept —
+    `make_mesh(model_parallel=k)` factors devices as data x model)
+  * batch pytrees sharded on 'data' via NamedSharding; params replicated
+  * gradient averaging, metric reduction and sync-BN batch statistics all
+    emerge from GSPMD: XLA inserts the collectives over ICI/DCN
+  * host-object exchange (path broadcast, string gather, barriers) via
+    jax.experimental.multihost_utils
+
+Multi-host: call `init_distributed()` before mesh construction; per-host data
+sharding goes through `host_local_batch_to_global`.
+"""
+
+import os
+from typing import Any, Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None):
+    """Initialize multi-host JAX (no-op for single-process runs).
+
+    Replaces torch.distributed.init_process_group (main.py:46).
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+def make_mesh(devices=None, model_parallel: int = 1) -> Mesh:
+    """Build a ('data', 'model') mesh over all devices.
+
+    The reference is data-parallel only (SURVEY §2.2); model_parallel=1 keeps
+    the 'model' axis trivial but present so tensor-parallel shardings can be
+    layered in without re-plumbing.
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    assert devices.size % model_parallel == 0
+    grid = devices.reshape(devices.size // model_parallel, model_parallel)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Place a host batch pytree with batch-axis sharding."""
+    sharding = batch_sharding(mesh)
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    sharding = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def host_local_batch_to_global(mesh: Mesh, batch: Any) -> Any:
+    """Multi-host: assemble a global sharded array from per-host shards.
+
+    Replaces DistributedSampler rank slicing (functions.py:115) at the array
+    level.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(mesh, batch)
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.host_local_array_to_global_array(
+        batch, mesh, P("data"))
+
+
+def sync_global_devices(name: str = "barrier"):
+    """Replaces torch.distributed.barrier (functions.py:58-59)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
+def process_allgather(obj):
+    """Gather host objects from every process (replaces all_gather_object,
+    nnet/model.py:645-666). Single-process: identity list."""
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    return list(multihost_utils.process_allgather(obj))
+
+
+def broadcast_host_object(obj, root: int = 0):
+    """Broadcast a host object from root (replaces broadcast_object_list,
+    nnet/datasets.py:202-217)."""
+    if jax.process_count() == 1:
+        return obj
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(obj, is_source=jax.process_index() == root)

@@ -1,0 +1,832 @@
+# Copyright 2026.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+
+"""Keras-style training engine over jitted JAX steps.
+
+Behavioral parity target: /root/reference/nnet/model.py (Model: compile :80,
+build :145, map_to_outputs :177, forward_model :227, train_step :346,
+eval_step :411, save :499, load :515, fit :668, evaluate :867, swa :944,
+eval_time :1047, save_logits :1079).
+
+TPU-first architecture:
+  * functional state {params, batch_stats, opt_state, step, ema_*} — one
+    pytree, donated to a single jitted train_step
+  * gradient accumulation = lax.scan over stacked micro-batches INSIDE the
+    step (ref: manual backward loop, model.py:362-391); grads averaged
+  * loss-weight schedules evaluated in-graph at step+1 (ref model.py:287)
+  * bf16 compute / fp32 params replaces fp16 + GradScaler: no loss scaling
+    needed on TPU; the fbank path stays fp32 (ops/audio.py)
+  * data parallelism via the global mesh: batches sharded on 'data', state
+    replicated; XLA emits the gradient/batch-norm collectives (no DDP wrap,
+    no SyncBatchNorm conversion — see parallel/mesh.py)
+  * EMA update fused into the train step (ref model.py:402-407)
+  * decoders split device_fn (traced: argmax/CTC collapse) + host
+    detokenization; exact corpus metrics via host gather
+    (recompute_metrics, ref model.py:921-940)
+"""
+
+import json
+import math
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from avec_tpu.parallel import mesh as pmesh
+from avec_tpu.train import checkpoint as ckpt
+from avec_tpu.train.losses import loss_dict
+from avec_tpu.train.metrics import metric_dict
+from avec_tpu.train.optim import Adam, Optimizer, optim_dict
+from avec_tpu.train.schedulers import ConstantScheduler, Scheduler, as_scheduler
+
+PRECISION_MAP = {
+    "float32": jnp.float32, "fp32": jnp.float32,
+    "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+    # torch.float16 configs map to bf16: the TPU-native mixed precision.
+    "float16": jnp.bfloat16, "fp16": jnp.bfloat16,
+}
+
+
+def resolve_precision(precision) -> Any:
+    if precision is None:
+        return jnp.float32
+    if isinstance(precision, str):
+        return PRECISION_MAP[precision]
+    if precision in (jnp.float32, jnp.bfloat16, jnp.float16):
+        return jnp.bfloat16 if precision == jnp.float16 else precision
+    name = getattr(precision, "__name__", None) or str(precision)
+    for key, val in PRECISION_MAP.items():
+        if key in str(name):
+            return val
+    return jnp.float32
+
+
+def _format_outputs(outputs) -> Dict[str, Any]:
+    """tensor/list/dict -> dict of named outputs (ref model.py:255-261)."""
+    if isinstance(outputs, dict):
+        return outputs
+    if isinstance(outputs, (list, tuple)):
+        return {f"output_{i}": v for i, v in enumerate(outputs)}
+    return {"output": outputs}
+
+
+class Model:
+    """Engine base. Subclasses (models/zoo.py) set:
+
+      self.net          linen module
+      self.net_inputs   inputs pytree -> tuple of positional args for net
+      net.__call__(*args, training=...) -> outputs (dict | list | tensor)
+    """
+
+    def __init__(self, name: str = "model", seed: int = 0):
+        self.name = name
+        self.compiled = False
+        self.built = False
+        self.rank = jax.process_index()
+        self.params = None
+        self.batch_stats = None
+        self.opt_state = None
+        self.model_step = 0
+        self.ema_tau = 0.0
+        self.ema_params = None
+        self.ema_batch_stats = None
+        self.grad_max_norm = None
+        self.seed = seed
+        self.base_rng = jax.random.PRNGKey(seed)
+        self.mesh = None
+        self.infos: Dict[str, Any] = {}
+        self.output_names: Optional[List[str]] = None
+        self._train_step_fn = None
+        self._eval_step_fn = None
+        self._compute_dtype = jnp.float32
+
+    # ------------------------------------------------------------------ net
+    def net_inputs(self, inputs) -> Tuple:
+        if isinstance(inputs, (list, tuple)):
+            return tuple(inputs)
+        return (inputs,)
+
+    def _cast_inputs(self, args: Tuple) -> Tuple:
+        if self._compute_dtype == jnp.float32:
+            return args
+        return tuple(a.astype(self._compute_dtype)
+                     if hasattr(a, "dtype") and a.dtype == jnp.float32 else a
+                     for a in args)
+
+    def apply_net(self, params, batch_stats, inputs, training: bool, rngs=None):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        args = self._cast_inputs(self.net_inputs(inputs))
+        if training and batch_stats:
+            out, mut = self.net.apply(variables, *args, training=True,
+                                      rngs=rngs, mutable=["batch_stats"])
+            return _format_outputs(out), mut["batch_stats"]
+        out = self.net.apply(variables, *args, training=training, rngs=rngs)
+        return _format_outputs(out), batch_stats
+
+    # -------------------------------------------------------------- compile
+    def compile(self, losses=None, loss_weights=None, optimizer="Adam",
+                metrics=None, decoders=None):
+        """ref: nnet/model.py:80-143."""
+        if isinstance(optimizer, str):
+            self.optimizer = optim_dict[optimizer](lr=0.001)
+        else:
+            self.optimizer = optimizer
+
+        self.compiled_losses = loss_dict[losses]() if isinstance(losses, str) else losses
+        if loss_weights is None:
+            self.compiled_loss_weights: Any = ConstantScheduler(1.0)
+        elif isinstance(loss_weights, (int, float)):
+            self.compiled_loss_weights = ConstantScheduler(float(loss_weights))
+        else:
+            assert isinstance(loss_weights, (dict, list))
+            if isinstance(loss_weights, dict):
+                self.compiled_loss_weights = {k: as_scheduler(v)
+                                              for k, v in loss_weights.items()}
+            else:
+                self.compiled_loss_weights = [as_scheduler(v) for v in loss_weights]
+        self.compiled_metrics = metric_dict[metrics]() if isinstance(metrics, str) else metrics
+        self.compiled_decoders = decoders
+        self.compiled = True
+
+    def map_to_outputs(self, outputs, struct):
+        """Conform struct to the outputs dict (ref: nnet/model.py:177-225)."""
+        if struct is None:
+            return None
+        if isinstance(struct, dict):
+            for key in struct:
+                if key not in outputs:
+                    raise KeyError(
+                        f"Found unexpected dict key: {key}. Valid output "
+                        f"names are: {list(outputs)}")
+            return {key: struct.get(key) for key in outputs}
+        if isinstance(struct, list):
+            keys = list(outputs)
+            return {key: struct[i] if i < len(struct) else None
+                    for i, key in enumerate(keys)}
+        return {key: struct for key in outputs}
+
+    # ---------------------------------------------------------------- build
+    def build(self, inputs, precision=None):
+        """Init params from a sample batch; map losses/metrics/decoders.
+
+        ref: nnet/model.py:145-175 (lazy build on first batch).
+        """
+        self._compute_dtype = resolve_precision(precision)
+        if self.mesh is None:
+            self.mesh = pmesh.make_mesh()
+
+        init_rngs = {"params": self.base_rng,
+                     "dropout": jax.random.fold_in(self.base_rng, 1),
+                     "augment": jax.random.fold_in(self.base_rng, 2)}
+        args = self._cast_inputs(self.net_inputs(inputs))
+        variables = self.net.init(init_rngs, *args, training=False)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+
+        outputs = _format_outputs(
+            self.net.apply(variables, *args, training=False))
+        self.output_names = list(outputs.keys())
+        out_proto = {k: None for k in self.output_names}
+
+        self.losses = self.map_to_outputs(out_proto, self.compiled_losses)
+        self.loss_weights = self.map_to_outputs(out_proto, self.compiled_loss_weights)
+        self.metrics = self.map_to_outputs(out_proto, self.compiled_metrics)
+        self.decoders = self.map_to_outputs(out_proto, self.compiled_decoders)
+
+        self.opt_state = self.optimizer.init(self.params)
+
+        if self.ema_tau:
+            self.ema_params = jax.tree.map(jnp.copy, self.params)
+            self.ema_batch_stats = jax.tree.map(jnp.copy, self.batch_stats)
+
+        # Replicate state across the mesh.
+        self.params = pmesh.replicate(self.mesh, self.params)
+        self.batch_stats = pmesh.replicate(self.mesh, self.batch_stats)
+        self.opt_state = pmesh.replicate(self.mesh, self.opt_state)
+        if self.ema_params is not None:
+            self.ema_params = pmesh.replicate(self.mesh, self.ema_params)
+            self.ema_batch_stats = pmesh.replicate(self.mesh, self.ema_batch_stats)
+
+        self.built = True
+        if self.rank == 0:
+            print(f"Built {self.name}")
+            if self.losses:
+                print("losses:", {k: type(v).__name__ for k, v in self.losses.items()})
+            print("num params: {:,}".format(self.num_params()))
+
+    def set_ema(self, ema_tau: float):
+        """ref: nnet/model.py:71-78."""
+        self.ema_tau = ema_tau
+
+    # ------------------------------------------------------------- state io
+    def _state(self):
+        return {"params": self.params, "batch_stats": self.batch_stats,
+                "opt_state": self.opt_state,
+                "step": jnp.asarray(self.model_step, jnp.int32),
+                "ema_params": self.ema_params,
+                "ema_batch_stats": self.ema_batch_stats}
+
+    def _load_state(self, state):
+        self.params = state["params"]
+        self.batch_stats = state["batch_stats"]
+        self.opt_state = state["opt_state"]
+        self.model_step = int(state["step"])
+        self.ema_params = state["ema_params"]
+        self.ema_batch_stats = state["ema_batch_stats"]
+
+    def num_params(self, tree=None):
+        tree = tree if tree is not None else self.params
+        return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+
+    def summary(self, show_dict=False, show_modules=False):
+        """ref: nnet/model.py:428-450."""
+        print(f"Model name: {self.name}")
+        if self.built:
+            print("Number Parameters: {:,}".format(self.num_params()))
+            if show_dict:
+                self.show_dict()
+
+    def show_dict(self):
+        """ref: nnet/model.py:452-471."""
+        flat = ckpt.state_dict_flatten(
+            {"params": self.params, "batch_stats": self.batch_stats})
+        for i, (key, value) in enumerate(flat.items()):
+            v = np.asarray(value, dtype=np.float32)
+            print(f"{i:<4} {key:<80} numel: {v.size:<10} shape: "
+                  f"{str(v.shape):<18} mean: {v.mean():<10.4f} std: "
+                  f"{v.std():<10.4f}")
+
+    # ---------------------------------------------------------- loss logic
+    def _compute_losses(self, outputs, targets, step):
+        """Per-output losses + scheduled-weight total (ref model.py:275-287)."""
+        batch_losses = {}
+        total = jnp.zeros((), jnp.float32)
+        for key in self.output_names:
+            if self.losses.get(key) is None:
+                continue
+            loss = self.losses[key](targets[key], outputs[key])
+            batch_losses["loss_" + key] = loss
+            weight = (self.loss_weights or {}).get(key)
+            w = weight(step + 1) if weight is not None else 1.0
+            total = total + loss * w
+        if len(batch_losses) > 1:
+            return dict({"loss": total}, **batch_losses)
+        return {"loss": total}
+
+    def _device_metrics(self, outputs, targets):
+        """Traced (non-host) metrics (accuracy family)."""
+        out = {}
+        for key in self.output_names:
+            mspec = (self.metrics or {}).get(key)
+            if mspec is None:
+                continue
+            metrics = mspec if isinstance(mspec, list) else [mspec]
+            for metric in metrics:
+                if getattr(metric, "on_host", False):
+                    continue
+                mkey = metric.name if metric.name not in out else f"{metric.name}_{key}"
+                out[mkey] = metric(targets[key], outputs[key])
+        return out
+
+    def _map_targets(self, targets):
+        mapped = self.map_to_outputs({k: None for k in self.output_names}, targets)
+        return mapped if mapped is not None else {k: None for k in self.output_names}
+
+    # ------------------------------------------------------------ the steps
+    def _build_train_step(self, accumulated_steps: int, eval_training: bool):
+        opt = self.optimizer
+        ema_tau = self.ema_tau
+        grad_max_norm = self.grad_max_norm
+
+        def loss_fn(params, batch_stats, micro, rngs, step):
+            outputs, new_bs = self.apply_net(params, batch_stats,
+                                             micro["inputs"], True, rngs)
+            targets = self._map_targets(micro["targets"])
+            losses = self._compute_losses(outputs, targets, step)
+            metrics = (self._device_metrics(
+                jax.tree.map(lax.stop_gradient, outputs), targets)
+                if eval_training else {})
+            return losses["loss"], (losses, metrics, new_bs)
+
+        def train_step(state, batch, rng):
+            step = state["step"]
+            params = state["params"]
+
+            def body(carry, x):
+                bs, grad_sum, loss_sum, met_sum = carry
+                micro, idx = x
+                rngs = {"dropout": jax.random.fold_in(rng, 2 * idx),
+                        "augment": jax.random.fold_in(rng, 2 * idx + 1)}
+                grads, (losses, metrics, new_bs) = jax.grad(
+                    loss_fn, has_aux=True)(params, bs, micro, rngs, step)
+                grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
+                loss_sum = jax.tree.map(jnp.add, loss_sum, losses)
+                met_sum = jax.tree.map(jnp.add, met_sum, metrics)
+                return (new_bs, grad_sum, loss_sum, met_sum), None
+
+            # Probe structures with a zero-cost eval shape.
+            micro0 = jax.tree.map(lambda x: x[0], batch)
+            zero_grads = jax.tree.map(jnp.zeros_like, params)
+            _, (loss_proto, met_proto, _) = loss_fn(
+                params, state["batch_stats"], micro0,
+                {"dropout": rng, "augment": rng}, step)
+            loss0 = jax.tree.map(jnp.zeros_like, loss_proto)
+            met0 = jax.tree.map(jnp.zeros_like, met_proto)
+
+            idxs = jnp.arange(accumulated_steps)
+            (new_bs, grad_sum, loss_sum, met_sum), _ = lax.scan(
+                body, (state["batch_stats"], zero_grads, loss0, met0),
+                (batch, idxs))
+
+            grads = jax.tree.map(lambda g: g / accumulated_steps, grad_sum)
+            losses = jax.tree.map(lambda l: l / accumulated_steps, loss_sum)
+            metrics = jax.tree.map(lambda m: m / accumulated_steps, met_sum)
+
+            # Global grad norm (logged; clipped when grad_max_norm set,
+            # ref model.py:378-383).
+            gnorm = optax_global_norm(grads)
+            if grad_max_norm is not None:
+                scale = jnp.minimum(1.0, grad_max_norm / (gnorm + 1e-6))
+                grads = jax.tree.map(lambda g: g * scale, grads)
+
+            updates, new_opt = opt.update(grads, state["opt_state"], params, step)
+            new_params = jax.tree.map(jnp.add, params, updates)
+
+            new_state = dict(state)
+            new_state["params"] = new_params
+            new_state["batch_stats"] = new_bs
+            new_state["opt_state"] = new_opt
+            new_state["step"] = step + 1
+
+            if ema_tau and state["ema_params"] is not None:
+                new_state["ema_params"] = jax.tree.map(
+                    lambda e, p: ema_tau * e + (1.0 - ema_tau) * p,
+                    state["ema_params"], new_params)
+                new_state["ema_batch_stats"] = jax.tree.map(
+                    lambda x: x, new_bs)
+
+            infos = {"lr": opt.learning_rate(step), "grad_norm": gnorm}
+            return new_state, (losses, metrics, infos)
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def _build_eval_step(self):
+        def eval_step(params, batch_stats, batch, step):
+            outputs, _ = self.apply_net(params, batch_stats,
+                                        batch["inputs"], False, None)
+            targets = self._map_targets(batch["targets"])
+            losses = self._compute_losses(outputs, targets, step)
+            metrics = self._device_metrics(outputs, targets)
+            decode_pre = {}
+            for key in self.output_names:
+                dec = (self.decoders or {}).get(key)
+                if dec is None:
+                    continue
+                d = dec[0] if isinstance(dec, list) else dec
+                if hasattr(d, "device_fn"):
+                    decode_pre[key] = d.device_fn(outputs[key])
+            return losses, metrics, decode_pre
+
+        return jax.jit(eval_step, static_argnames=())
+
+    # ------------------------------------------------------------------ fit
+    def fit(self, dataset_train, epochs, dataset_eval=None, eval_steps=None,
+            verbose_eval=0, initial_epoch=0, callback_path=None,
+            steps_per_epoch=None, precision=None, accumulated_steps=1,
+            eval_period_step=None, eval_period_epoch=1,
+            saving_period_step=None, saving_period_epoch=1,
+            log_figure_period_step=None, log_figure_period_epoch=None,
+            step_log_period=10, eval_training=True, dist_log=False,
+            grad_init_scale=None, detect_anomaly=False,
+            recompute_metrics=False):
+        """Training loop (ref: nnet/model.py:668-828).
+
+        grad_init_scale is accepted for config parity and ignored: bf16 on
+        TPU needs no loss scaling. detect_anomaly enables jax debug_nans.
+        """
+        if not self.compiled:
+            raise Exception("You must compile your model before training/testing.")
+        if detect_anomaly:
+            jax.config.update("jax_debug_nans", True)
+
+        writer = self._make_writer(callback_path)
+        train_step = None
+
+        for epoch in range(initial_epoch, epochs):
+            dataset_train.set_epoch(epoch)
+            if self.rank == 0:
+                print(f"Epoch {epoch + 1}/{epochs}:")
+
+            epoch_losses: Dict[str, float] = {}
+            epoch_metrics: Dict[str, float] = {}
+            t_epoch = time.time()
+            n_steps = 0
+
+            for step_i, batch in enumerate(dataset_train):
+                if not self.built:
+                    micro = jax.tree.map(
+                        lambda x: x[: x.shape[0] // accumulated_steps]
+                        if hasattr(x, "shape") and x.ndim else x, batch)
+                    self.build(micro["inputs"], precision=precision)
+                if train_step is None:
+                    train_step = self._build_train_step(accumulated_steps,
+                                                        eval_training)
+
+                batch = self._stack_micro(batch, accumulated_steps)
+                batch = pmesh.host_local_batch_to_global(self.mesh, batch)
+                rng = jax.random.fold_in(self.base_rng, self.model_step + 1)
+
+                state = self._state()
+                state, (losses, metrics, infos) = train_step(state, batch, rng)
+                self._load_state(state)
+                n_steps += 1
+
+                for k, v in losses.items():
+                    epoch_losses[k] = epoch_losses.get(k, 0.0) + float(v)
+                for k, v in metrics.items():
+                    epoch_metrics[k] = epoch_metrics.get(k, 0.0) + float(v)
+                self.infos.update({"lr": float(infos["lr"]),
+                                   "grad_norm": round(float(infos["grad_norm"]), 4),
+                                   "step": self.model_step})
+
+                if self.rank == 0 and (step_i % step_log_period == 0):
+                    self._display(epoch_losses, epoch_metrics, n_steps)
+                if writer and self.model_step % step_log_period == 0:
+                    self._log(writer, "Training-step", self.model_step,
+                              losses, metrics, self.infos)
+
+                # Periodic eval/save by step (ref model.py:766-780).
+                if (eval_period_step and dataset_eval is not None
+                        and self.model_step % eval_period_step == 0):
+                    self._evaluate(dataset_eval, writer, self.model_step,
+                                   eval_steps, verbose_eval, recompute_metrics,
+                                   tag="Evaluation-step")
+                if (saving_period_step and callback_path and self.rank == 0
+                        and self.model_step % saving_period_step == 0):
+                    self.save(os.path.join(
+                        callback_path,
+                        f"checkpoints_epoch_{epoch + 1}_step_{self.model_step}.ckpt"))
+
+                if steps_per_epoch is not None and n_steps >= steps_per_epoch:
+                    break
+
+            denom = max(n_steps, 1)
+            epoch_losses = {k: v / denom for k, v in epoch_losses.items()}
+            epoch_metrics = {k: v / denom for k, v in epoch_metrics.items()}
+            if self.rank == 0:
+                dt = time.time() - t_epoch
+                self._display(epoch_losses, epoch_metrics, 1)
+                print(f"  epoch time {dt:.1f}s ({denom} steps)")
+            if writer:
+                self._log(writer, "Training-epoch", epoch + 1, epoch_losses,
+                          epoch_metrics, {})
+
+            if (eval_period_epoch and dataset_eval is not None
+                    and (epoch + 1) % eval_period_epoch == 0):
+                self._evaluate(dataset_eval, writer, epoch + 1, eval_steps,
+                               verbose_eval, recompute_metrics,
+                               tag="Evaluation-epoch")
+            if (saving_period_epoch and callback_path and self.rank == 0
+                    and (epoch + 1) % saving_period_epoch == 0):
+                os.makedirs(callback_path, exist_ok=True)
+                self.save(os.path.join(
+                    callback_path,
+                    f"checkpoints_epoch_{epoch + 1}_step_{self.model_step}.ckpt"))
+
+        if writer:
+            writer.close()
+
+    def _stack_micro(self, batch, accum: int):
+        """(A*B, ...) arrays -> (A, B, ...) micro-batch stacks."""
+        def reshape(x):
+            x = np.asarray(x)
+            assert x.shape[0] % accum == 0, (x.shape, accum)
+            return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+
+        return jax.tree.map(reshape, batch)
+
+    # ------------------------------------------------------------- evaluate
+    def _evaluate(self, dataset, writer=None, step=None, eval_steps=None,
+                  verbose=0, recompute_metrics=False, tag="Evaluation"):
+        """ref: nnet/model.py:830-865."""
+        datasets = dataset if isinstance(dataset, list) else [dataset]
+        results = []
+        for i, ds in enumerate(datasets):
+            val_losses, val_metrics = self.evaluate(ds, eval_steps, verbose,
+                                                    recompute_metrics)
+            results.append((val_losses, val_metrics))
+            if self.rank == 0:
+                for k, v in {**val_losses, **val_metrics}.items():
+                    print(f"eval {k}: {v:.4f}")
+            if writer and self.rank == 0:
+                self._log(writer, f"{tag}/{i}", step, val_losses, val_metrics, {})
+            if self.ema_params is not None:
+                ema_losses, ema_metrics = self.evaluate(
+                    ds, eval_steps, verbose, recompute_metrics, use_ema=True)
+                if self.rank == 0:
+                    for k, v in {**ema_losses, **ema_metrics}.items():
+                        print(f"ema eval {k}: {v:.4f}")
+                if writer and self.rank == 0:
+                    self._log(writer, f"{tag}-ema/{i}", step, ema_losses,
+                              ema_metrics, {})
+        return results
+
+    def evaluate(self, dataset_eval, eval_steps=None, verbose=0,
+                 recompute_metrics=False, use_ema=False):
+        """ref: nnet/model.py:867-942."""
+        if not self.built:
+            batch = next(iter(dataset_eval))
+            self.build(batch["inputs"])
+        if self._eval_step_fn is None:
+            self._eval_step_fn = self._build_eval_step()
+
+        params = self.ema_params if use_ema else self.params
+        batch_stats = self.ema_batch_stats if use_ema else self.batch_stats
+
+        epoch_losses: Dict[str, float] = {}
+        epoch_metrics: Dict[str, float] = {}
+        epoch_truths: Dict[str, List[str]] = {}
+        epoch_preds: Dict[str, List[str]] = {}
+        n = 0
+
+        for step_i, batch in enumerate(dataset_eval):
+            host_targets = batch["targets"]
+            gbatch = pmesh.host_local_batch_to_global(self.mesh, batch)
+            losses, metrics, decode_pre = self._eval_step_fn(
+                params, batch_stats, gbatch, jnp.asarray(self.model_step, jnp.int32))
+            n += 1
+
+            for k, v in losses.items():
+                epoch_losses[k] = epoch_losses.get(k, 0.0) + float(v)
+            for k, v in metrics.items():
+                epoch_metrics[k] = epoch_metrics.get(k, 0.0) + float(v)
+
+            # Host metrics (WER) through decoders (ref model.py:290-324).
+            host_batch = self._host_metric_pass(decode_pre, host_targets,
+                                                verbose)
+            for k, (truths, preds, val) in host_batch.items():
+                epoch_metrics[k] = epoch_metrics.get(k, 0.0) + val
+                if recompute_metrics:
+                    epoch_truths.setdefault(k, []).extend(truths)
+                    epoch_preds.setdefault(k, []).extend(preds)
+
+            if eval_steps and n >= eval_steps:
+                break
+
+        denom = max(n, 1)
+        epoch_losses = {k: v / denom for k, v in epoch_losses.items()}
+
+        if recompute_metrics and epoch_truths:
+            # Exact corpus metric over gathered strings (ref :933-936).
+            for k in list(epoch_metrics.keys()):
+                if k in epoch_truths:
+                    truths = sum(pmesh.process_allgather(epoch_truths[k]), [])
+                    preds = sum(pmesh.process_allgather(epoch_preds[k]), [])
+                    metric = self._host_metric_for(k)
+                    epoch_metrics[k] = float(metric(truths, preds))
+                else:
+                    epoch_metrics[k] = epoch_metrics[k] / denom
+        else:
+            epoch_metrics = {k: v / denom for k, v in epoch_metrics.items()}
+        return epoch_losses, epoch_metrics
+
+    def _host_metric_pass(self, decode_pre, host_targets, verbose=0):
+        """Decode + host metrics for one batch; returns
+        {metric_key: (truths, preds, value)}."""
+        out = {}
+        if not self.metrics:
+            return out
+        targets = self._map_targets(host_targets)
+        for key in self.output_names:
+            mspec = self.metrics.get(key)
+            dspec = (self.decoders or {}).get(key)
+            if mspec is None or dspec is None or key not in decode_pre:
+                continue
+            metrics = mspec if isinstance(mspec, list) else [mspec]
+            decoder = dspec[0] if isinstance(dspec, list) else dspec
+            for metric in metrics:
+                if not getattr(metric, "on_host", False):
+                    continue
+                mkey = metric.name if metric.name not in out else f"{metric.name}_{key}"
+                pre_host = jax.tree.map(np.asarray, decode_pre[key])
+                truths = decoder(targets[key], from_logits=False)
+                preds = decoder(pre_host)
+                if verbose:
+                    print("Groundtruths:\n", truths)
+                    print("Predictions:\n", preds)
+                out[mkey] = (truths, preds, float(metric(truths, preds)))
+        return out
+
+    def _host_metric_for(self, metric_key):
+        for key in self.output_names:
+            mspec = (self.metrics or {}).get(key)
+            if mspec is None:
+                continue
+            metrics = mspec if isinstance(mspec, list) else [mspec]
+            for metric in metrics:
+                if getattr(metric, "on_host", False) and metric.name in metric_key:
+                    return metric
+        raise KeyError(metric_key)
+
+    # ------------------------------------------------------------- save/load
+    def save(self, path: str, save_optimizer: bool = True):
+        """ref: nnet/model.py:499-513."""
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        model_state = {"params": jax.tree.map(np.asarray, self.params),
+                       "batch_stats": jax.tree.map(np.asarray, self.batch_stats)}
+        ema_state = None
+        if self.ema_params is not None:
+            ema_state = {"params": jax.tree.map(np.asarray, self.ema_params),
+                         "batch_stats": jax.tree.map(np.asarray, self.ema_batch_stats)}
+        ckpt.save_checkpoint(
+            path, model_state,
+            optimizer_state=self.opt_state if save_optimizer else None,
+            model_step=self.model_step, ema_state=ema_state)
+        if self.rank == 0:
+            print(f"Model saved at step {self.model_step}")
+
+    def load(self, path: str, load_optimizer: bool = True, verbose: bool = True,
+             strict: bool = True):
+        """ref: nnet/model.py:515-544."""
+        payload = ckpt.load_checkpoint(path)
+        template = {"params": self.params, "batch_stats": self.batch_stats}
+        restored = ckpt.restore_tree(template, payload["model_state_dict"],
+                                     strict=strict)
+        self.params = pmesh.replicate(self.mesh, restored["params"])
+        self.batch_stats = pmesh.replicate(self.mesh, restored["batch_stats"])
+        if load_optimizer and payload.get("optimizer_state_dict") is not None:
+            from flax import serialization
+
+            self.opt_state = pmesh.replicate(self.mesh, serialization.from_state_dict(
+                self.opt_state, payload["optimizer_state_dict"]))
+            self.model_step = int(payload["model_step"])
+        if payload.get("ema_model_state_dict") is not None and self.ema_params is not None:
+            ema_t = {"params": self.ema_params, "batch_stats": self.ema_batch_stats}
+            ema = ckpt.restore_tree(ema_t, payload["ema_model_state_dict"],
+                                    strict=strict)
+            self.ema_params = pmesh.replicate(self.mesh, ema["params"])
+            self.ema_batch_stats = pmesh.replicate(self.mesh, ema["batch_stats"])
+        if self.rank == 0 and verbose:
+            print(f"Rank {self.rank}: Model loaded at step {self.model_step}")
+
+    # ------------------------------------------------------------------ swa
+    def swa(self, dataset, callback_path, start_epoch=None, end_epoch=None,
+            epochs_list=None, update_steps=None, swa_type="equal",
+            swa_decay=0.9, precision=None):
+        """Stochastic weight averaging + BN re-estimation.
+
+        ref: nnet/model.py:944-1015.
+        """
+        import glob as globmod
+
+        if epochs_list is None:
+            epochs_list = list(range(int(start_epoch), int(end_epoch) + 1))
+        if self.rank == 0:
+            print(f"Stochastic Weight Averaging on checkpoints : {epochs_list}")
+
+        avg = None
+        n_avg = 0
+        for epoch in epochs_list:
+            pattern = os.path.join(callback_path,
+                                   f"checkpoints_epoch_{epoch}_step_*.ckpt")
+            matches = globmod.glob(pattern)
+            assert matches, f"no checkpoint for epoch {epoch}"
+            self.load(matches[0], load_optimizer=False, verbose=False,
+                      strict=True)
+            p = jax.tree.map(np.asarray, self.params)
+            if avg is None:
+                avg = p
+            elif swa_type == "equal":
+                avg = jax.tree.map(
+                    lambda a, b: a + (b - a) / (n_avg + 1), avg, p)
+            else:  # exp
+                avg = jax.tree.map(
+                    lambda a, b: (1 - swa_decay) * a + swa_decay * b, avg, p)
+            n_avg += 1
+
+        self.params = pmesh.replicate(self.mesh, avg)
+
+        if self.rank == 0:
+            print("Updating Batch Normalization Statistics")
+        # Reset running stats (mean->0, var->1) then re-estimate in training
+        # mode (forward-only, ref model.py:988-1007).
+        def reset_stat(path, x):
+            leaf = getattr(path[-1], "key", str(path[-1]))
+            if leaf == "var":
+                return np.ones_like(x)
+            if leaf == "mean":
+                return np.zeros_like(x)
+            return np.asarray(x)
+
+        self.batch_stats = pmesh.replicate(self.mesh, jax.tree_util.tree_map_with_path(
+            reset_stat, jax.tree.map(np.asarray, self.batch_stats)))
+
+        bn_step = jax.jit(lambda p, bs, inputs, rng: self.apply_net(
+            p, bs, inputs, True, {"dropout": rng, "augment": rng})[1])
+
+        steps = 0
+        update_steps = update_steps if update_steps is not None else len(dataset)
+        while steps < update_steps:
+            for batch in dataset:
+                inputs = pmesh.host_local_batch_to_global(
+                    self.mesh, batch)["inputs"]
+                rng = jax.random.fold_in(self.base_rng, 999_000 + steps)
+                self.batch_stats = bn_step(self.params, self.batch_stats,
+                                           inputs, rng)
+                steps += 1
+                if steps >= update_steps:
+                    break
+
+        if self.rank == 0:
+            self.save(os.path.join(
+                callback_path,
+                f"checkpoints_swa-{swa_type}-{epochs_list[0]}-{epochs_list[-1]}.ckpt"),
+                save_optimizer=False)
+        pmesh.sync_global_devices("swa")
+
+    # ------------------------------------------------------------ eval_time
+    def eval_time(self, dataset_eval, eval_steps=None, num_evals=10,
+                  warmup_eval=True):
+        """ref: nnet/model.py:1047-1077."""
+        if warmup_eval:
+            print("Warmup Eval")
+            self.evaluate(dataset_eval, eval_steps=eval_steps)
+        times = []
+        for i in range(num_evals):
+            print(f"Eval {i + 1}/{num_evals}:")
+            start = time.time()
+            self.evaluate(dataset_eval, eval_steps=eval_steps)
+            times.append(time.time() - start)
+        arr = np.asarray(times)
+        return {"mean": arr.mean(), "std": arr.std(), "min": arr.min(),
+                "max": arr.max()}
+
+    def save_logits(self, dataset_eval, callback_path):
+        """Dump logits/targets (ref: nnet/model.py:1079-1116)."""
+        logits_list, targets_list = [], []
+        fwd = jax.jit(lambda p, bs, inputs: self.apply_net(p, bs, inputs,
+                                                           False, None)[0])
+        for batch in dataset_eval:
+            inputs = pmesh.host_local_batch_to_global(self.mesh, batch)["inputs"]
+            out = fwd(self.params, self.batch_stats, inputs)
+            logits_list.append(jax.tree.map(np.asarray, out))
+            targets_list.append(batch["targets"])
+        np.save(os.path.join(callback_path, "logits.npy"),
+                np.asarray(logits_list, dtype=object), allow_pickle=True)
+        np.save(os.path.join(callback_path, "targets.npy"),
+                np.asarray(targets_list, dtype=object), allow_pickle=True)
+
+    # -------------------------------------------------------------- logging
+    def _make_writer(self, callback_path):
+        if not callback_path or self.rank != 0:
+            return None
+        os.makedirs(os.path.join(callback_path, "logs"), exist_ok=True)
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            return SummaryWriter(os.path.join(callback_path, "logs"))
+        except Exception:
+            from avec_tpu.utils.logging import JsonlWriter
+
+            return JsonlWriter(os.path.join(callback_path, "logs",
+                                            "events.jsonl"))
+
+    def _log(self, writer, tag, step, losses, metrics, infos):
+        for k, v in {**losses, **metrics}.items():
+            try:
+                writer.add_scalar(f"{tag}/{k}", float(v), step)
+            except Exception:
+                pass
+        for k, v in infos.items():
+            if isinstance(v, (int, float)):
+                writer.add_scalar(f"{tag}/{k}", float(v), step)
+
+    def _display(self, losses, metrics, steps):
+        parts = []
+        for k, v in losses.items():
+            parts.append(f"{k}: {v / steps:.4f}")
+        for k, v in metrics.items():
+            parts.append(f"{k}: {v / steps:.4f}")
+        for k, v in self.infos.items():
+            if k.endswith("lr"):
+                parts.append(f"{k}: {v:.2e}")
+            else:
+                parts.append(f"{k}: {v}")
+        print("  " + " - ".join(parts), flush=True)
+
+
+def optax_global_norm(tree):
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                        for x in leaves))
