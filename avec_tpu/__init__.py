@@ -18,6 +18,85 @@ parallelism over a device mesh, fully-jitted train/eval steps.
 
 __version__ = "0.1.0"
 
-# Lazy-ish re-exports: keep import light; heavy subpackages import on demand.
-from avec_tpu.ops import activations, inits, masks, audio, ctc, layers, attention  # noqa: F401
+# --- ops / core --------------------------------------------------------
+from avec_tpu.ops import activations, attention, audio, ctc, inits, layers, masks  # noqa: F401
+from avec_tpu.ops.audio import AudioPreprocessing, SpecAugment  # noqa: F401
+from avec_tpu.ops.ctc import ctc_loss  # noqa: F401
+from avec_tpu.ops.pos_embeddings import PosEmbedding1d, SinPosEmbedding  # noqa: F401
+
+# --- training engine ----------------------------------------------------
 from avec_tpu.train import schedulers  # noqa: F401
+from avec_tpu.train.model import Model  # noqa: F401
+from avec_tpu.train.losses import (  # noqa: F401
+    CTCLoss,
+    HingeLoss,
+    HuberLoss,
+    MeanAbsoluteError,
+    MeanLoss,
+    MeanSquaredError,
+    SoftmaxCrossEntropy,
+)
+from avec_tpu.train.metrics import (  # noqa: F401
+    CategoricalAccuracy,
+    CategoricalAccuracyTopK,
+    Mean,
+    WordErrorRate,
+)
+from avec_tpu.train.optim import SGD, Adam, AdamW  # noqa: F401
+from avec_tpu.train.schedulers import (  # noqa: F401
+    ConstantDecayScheduler,
+    ConstantScheduler,
+    CosineAnnealingScheduler,
+    ExpDecayScheduler,
+    LinearDecayScheduler,
+    NoamDecayScheduler,
+    WarmupConstantDecayScheduler,
+)
+
+# --- models -------------------------------------------------------------
+from avec_tpu.models.encoders import (  # noqa: F401
+    AudioEfficientConformerEncoder,
+    AudioVisualEfficientConformerEncoder,
+    VisualEfficientConformerEncoder,
+)
+from avec_tpu.models.resnet import ResNet  # noqa: F401
+from avec_tpu.models.transformer import GPTNet, Transformer  # noqa: F401
+from avec_tpu.models.zoo import (  # noqa: F401
+    GPT,
+    AudioEfficientConformerInterCTC,
+    AudioVisualEfficientConformerInterCTC,
+    Classifier,
+    VisualEfficientConformerCE,
+    VisualEfficientConformerInterCTC,
+)
+
+# --- decoding -----------------------------------------------------------
+from avec_tpu.decode.beam import CTCBeamSearchDecoder  # noqa: F401
+from avec_tpu.decode.greedy import (  # noqa: F401
+    ArgMaxDecoder,
+    CTCGreedySearchDecoder,
+    IdentityDecoder,
+    ThresholdDecoder,
+)
+
+# --- data ---------------------------------------------------------------
+from avec_tpu import data  # noqa: F401
+from avec_tpu.data import datasets  # noqa: F401
+from avec_tpu.data.collate import Collate, CollateFn  # noqa: F401
+from avec_tpu.data.loader import DataLoader  # noqa: F401
+from avec_tpu.data.transforms import (  # noqa: F401
+    BabbleNoise,
+    CenterCrop,
+    Compose,
+    DenormalizeVideo,
+    NormalizeVideo,
+    RandomCrop,
+    RandomHorizontalFlip,
+    TimeMaskSecond,
+    align_video_to_audio,
+)
+
+# --- utils --------------------------------------------------------------
+from avec_tpu.parallel import mesh  # noqa: F401
+from avec_tpu.utils.tokenizer import Tokenizer, load_tokenizer, train_tokenizer  # noqa: F401
+from avec_tpu.utils.wer import wer  # noqa: F401

@@ -57,21 +57,32 @@ def make_mesh(devices=None, model_parallel: int = 1) -> Mesh:
     return Mesh(grid, axis_names=("data", "model"))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis over 'data'."""
-    return NamedSharding(mesh, P("data"))
+def batch_sharding(mesh: Mesh, batch_axis: int = 0) -> NamedSharding:
+    """Shard `batch_axis` over 'data' (axis 1 for (A, B, ...) stacked
+    micro-batches, axis 0 for plain batches)."""
+    spec = [None] * batch_axis + ["data"]
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Place a host batch pytree with batch-axis sharding."""
-    sharding = batch_sharding(mesh)
+def shard_batch(mesh: Mesh, batch: Any, batch_axis: int = 0) -> Any:
+    """Place a host batch pytree with batch-axis sharding.
+
+    Leaves whose batch dim is not divisible by the data-axis size (e.g. the
+    final partial eval batch) are replicated instead — correctness first,
+    XLA still partitions the compute where it can.
+    """
+    ndata = mesh.shape["data"]
+    sharded = batch_sharding(mesh, batch_axis)
+    replicated = replicated_sharding(mesh)
 
     def put(x):
-        return jax.device_put(x, sharding)
+        ok = (hasattr(x, "shape") and len(x.shape) > batch_axis
+              and x.shape[batch_axis] % ndata == 0)
+        return jax.device_put(x, sharded if ok else replicated)
 
     return jax.tree.map(put, batch)
 
@@ -81,18 +92,18 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def host_local_batch_to_global(mesh: Mesh, batch: Any) -> Any:
+def host_local_batch_to_global(mesh: Mesh, batch: Any, batch_axis: int = 0) -> Any:
     """Multi-host: assemble a global sharded array from per-host shards.
 
     Replaces DistributedSampler rank slicing (functions.py:115) at the array
     level.
     """
     if jax.process_count() == 1:
-        return shard_batch(mesh, batch)
+        return shard_batch(mesh, batch, batch_axis)
     from jax.experimental import multihost_utils
 
-    return multihost_utils.host_local_array_to_global_array(
-        batch, mesh, P("data"))
+    spec = P(*([None] * batch_axis + ["data"]))
+    return multihost_utils.host_local_array_to_global_array(batch, mesh, spec)
 
 
 def sync_global_devices(name: str = "barrier"):

@@ -218,6 +218,20 @@ class Model:
             self.ema_params = pmesh.replicate(self.mesh, self.ema_params)
             self.ema_batch_stats = pmesh.replicate(self.mesh, self.ema_batch_stats)
 
+        # Config-requested partial load (e.g. LRW front-end surgery,
+        # ref configs/LRS23/AV/EffConfInterCTC.py:70-75).
+        if getattr(self, "pending_partial_load", None):
+            spec = self.pending_partial_load
+            template = {"params": self.params, "batch_stats": self.batch_stats}
+            restored = ckpt.restore_tree(template, spec["state_dict"],
+                                         strict=False,
+                                         rename=spec.get("rename"))
+            self.params = pmesh.replicate(self.mesh, restored["params"])
+            self.batch_stats = pmesh.replicate(self.mesh, restored["batch_stats"])
+            self.pending_partial_load = None
+            if self.rank == 0:
+                print("Applied partial checkpoint load")
+
         self.built = True
         if self.rank == 0:
             print(f"Built {self.name}")
@@ -444,7 +458,9 @@ class Model:
                                                         eval_training)
 
                 batch = self._stack_micro(batch, accumulated_steps)
-                batch = pmesh.host_local_batch_to_global(self.mesh, batch)
+                # (A, B, ...) stacks: the batch axis is axis 1.
+                batch = pmesh.host_local_batch_to_global(self.mesh, batch,
+                                                         batch_axis=1)
                 rng = jax.random.fold_in(self.base_rng, self.model_step + 1)
 
                 state = self._state()

@@ -6,7 +6,8 @@ Must set env vars before jax is imported anywhere.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the environment pins JAX_PLATFORMS to the TPU plugin.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -15,6 +16,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8, jax.devices()
 jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache: compile-bound on the 1-core CPU test host.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
