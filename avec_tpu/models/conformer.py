@@ -275,8 +275,10 @@ class ConformerInterCTC(nn.Module):
                     stride = (self.conv_stride[stage_id]
                               if isinstance(self.conv_stride, (list, tuple))
                               else self.conv_stride)
+                # linen freezes list fields to tuples of FrozenDicts.
                 att = (self.att_params[stage_id]
-                       if isinstance(self.att_params, list) else self.att_params)
+                       if isinstance(self.att_params, (list, tuple))
+                       else self.att_params)
                 dim_out = dims[stage_id + (1 if down_block else 0)]
 
                 x = ConformerBlock(

@@ -1,0 +1,236 @@
+# Copyright 2026.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+
+"""Benchmark: flagship AV training throughput (utterances/sec/chip).
+
+Measures the fully-jitted train step (fbank + SpecAugment + AV encoders +
+6 CTC losses + backward + Adam) on the available accelerator at a realistic
+workload (B=8, 6 s utterances — LRS utterances average ~2-6 s, capped at
+16 s, ref configs/LRS23/AO/EffConfCTC.py:47).
+
+vs_baseline compares against a PyTorch-CPU baseline (utterances/sec of an
+equivalent-compute torch AV conformer train step), measured once on this host
+and cached in bench_baseline.json. Prints ONE JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = 8
+AUDIO_SECONDS = 6
+AUDIO_LEN = AUDIO_SECONDS * 16000
+LABEL_LEN = 32
+WARMUP = 2
+STEPS = 10
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+
+
+def make_batch(batch_size):
+    video_len = AUDIO_LEN // 640 + 1
+    rng = np.random.RandomState(0)
+    video = rng.rand(batch_size, video_len, 88, 88, 1).astype(np.float32)
+    audio = (rng.randn(batch_size, AUDIO_LEN) * 0.1).astype(np.float32)
+    labels = rng.randint(1, 256, size=(batch_size, LABEL_LEN)).astype(np.int32)
+    inputs = [video, np.full((batch_size,), video_len, np.int32),
+              audio, np.full((batch_size,), AUDIO_LEN, np.int32)]
+    targets = (labels, np.full((batch_size,), LABEL_LEN, np.int32))
+    return {"inputs": inputs, "targets": targets}
+
+
+def bench_jax():
+    import jax
+
+    from avec_tpu.models.zoo import AudioVisualEfficientConformerInterCTC
+    from avec_tpu.parallel import mesh as pmesh
+    from avec_tpu.train.losses import CTCLoss
+
+    model = AudioVisualEfficientConformerInterCTC()
+    model.compile(losses=CTCLoss(zero_infinity=True, assert_shorter=False))
+    model.mesh = pmesh.make_mesh()
+
+    batch = make_batch(BATCH)
+    model.build(batch["inputs"], precision="bfloat16")
+    train_step = model._build_train_step(accumulated_steps=1,
+                                         eval_training=False)
+    stacked = model._stack_micro(batch, 1)
+    gbatch = pmesh.host_local_batch_to_global(model.mesh, stacked, batch_axis=1)
+
+    state = model._state()
+    rng = jax.random.PRNGKey(0)
+    for i in range(WARMUP):
+        state, (losses, _, _) = train_step(state, gbatch, rng)
+    jax.block_until_ready(state["params"])
+
+    t0 = time.time()
+    for i in range(STEPS):
+        state, (losses, _, _) = train_step(state, gbatch, rng)
+    jax.block_until_ready(state["params"])
+    dt = time.time() - t0
+
+    n_chips = len(jax.devices())
+    utt_per_sec = BATCH * STEPS / dt
+    return utt_per_sec / n_chips, float(losses["loss"])
+
+
+def bench_torch_cpu_baseline():
+    """Equivalent-compute torch-CPU AV conformer train step (the reference's
+    stack is pure PyTorch; this measures the same architecture family's
+    fwd+bwd on this host's CPU). Cached in bench_baseline.json."""
+    if os.path.isfile(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            return json.load(f)["torch_cpu_utt_per_sec"]
+    import torch
+    import torch.nn as nn
+
+    torch.set_num_threads(os.cpu_count() or 1)
+
+    class ConformerBlock(nn.Module):
+        def __init__(self, d, k=15):
+            super().__init__()
+            self.ff1 = nn.Sequential(nn.LayerNorm(d), nn.Linear(d, 4 * d),
+                                     nn.SiLU(), nn.Linear(4 * d, d))
+            self.att = nn.MultiheadAttention(d, 4, batch_first=True)
+            self.ln_att = nn.LayerNorm(d)
+            self.conv = nn.Sequential(
+                nn.LayerNorm(d))
+            self.pw1 = nn.Linear(d, 2 * d)
+            self.dw = nn.Conv1d(d, d, k, padding=k // 2, groups=d)
+            self.bn = nn.BatchNorm1d(d)
+            self.pw2 = nn.Linear(d, d)
+            self.ff2 = nn.Sequential(nn.LayerNorm(d), nn.Linear(d, 4 * d),
+                                     nn.SiLU(), nn.Linear(4 * d, d))
+            self.ln = nn.LayerNorm(d)
+
+        def forward(self, x):
+            x = x + 0.5 * self.ff1(x)
+            a = self.ln_att(x)
+            x = x + self.att(a, a, a, need_weights=False)[0]
+            c = nn.functional.glu(self.pw1(self.conv(x)), dim=-1)
+            c = self.bn(self.dw(c.transpose(1, 2))).transpose(1, 2)
+            x = x + self.pw2(nn.functional.silu(c))
+            x = x + 0.5 * self.ff2(x)
+            return self.ln(x)
+
+    class TorchAV(nn.Module):
+        """Compute-equivalent stand-in: video 3D stem + per-frame ResNet-ish
+        trunk + conformer stacks + fusion + CTC head."""
+
+        def __init__(self):
+            super().__init__()
+            self.vstem = nn.Conv3d(1, 64, (5, 7, 7), (1, 2, 2), (2, 3, 3))
+            trunk = []
+            ch = 64
+            for out, s in [(64, 1), (128, 2), (256, 2), (512, 2)]:
+                trunk += [nn.Conv2d(ch, out, 3, s, 1), nn.BatchNorm2d(out),
+                          nn.ReLU(), nn.Conv2d(out, out, 3, 1, 1),
+                          nn.BatchNorm2d(out), nn.ReLU()]
+                ch = out
+            self.vtrunk = nn.Sequential(*trunk)
+            self.vproj = nn.Linear(512, 256)
+            self.vconf = nn.ModuleList([ConformerBlock(256) for _ in range(6)]
+                                       + [ConformerBlock(360)])
+            self.vexp = nn.Linear(256, 360)
+            self.astem = nn.Conv2d(1, 180, 3, 2, 1)
+            self.aproj = nn.Linear(180 * 40, 180)
+            self.aconf = nn.ModuleList(
+                [ConformerBlock(180) for _ in range(5)]
+                + [ConformerBlock(256) for _ in range(6)]
+                + [ConformerBlock(360)])
+            self.aexp1 = nn.Linear(180, 256)
+            self.aexp2 = nn.Linear(256, 360)
+            self.fusion = nn.Sequential(nn.Linear(720, 1440), nn.SiLU(),
+                                        nn.Linear(1440, 360))
+            self.fconf = nn.ModuleList([ConformerBlock(360) for _ in range(5)])
+            self.head = nn.Linear(360, 256)
+
+        def forward(self, video, mel):
+            b, t = video.shape[0], video.shape[2]
+            v = torch.relu(self.vstem(video))
+            v = nn.functional.max_pool3d(v, (1, 3, 3), (1, 2, 2), (0, 1, 1))
+            v = v.transpose(1, 2).reshape(b * t, 64, v.shape[3], v.shape[4])
+            v = self.vtrunk(v).mean(dim=(2, 3)).reshape(b, t, 512)
+            v = self.vproj(v)
+            for i, blk in enumerate(self.vconf):
+                if i == 6:
+                    v = nn.functional.max_pool1d(
+                        self.vexp(v).transpose(1, 2), 2, 2).transpose(1, 2)
+                v = blk(v)
+            a = torch.relu(self.astem(mel))
+            a = a.flatten(1, 2).transpose(1, 2)
+            a = self.aproj(a)
+            for i, blk in enumerate(self.aconf):
+                if i == 5:
+                    a = nn.functional.max_pool1d(
+                        self.aexp1(a).transpose(1, 2), 2, 2).transpose(1, 2)
+                if i == 11:
+                    a = nn.functional.max_pool1d(
+                        self.aexp2(a).transpose(1, 2), 2, 2).transpose(1, 2)
+                a = blk(a)
+            n = min(a.shape[1], v.shape[1])
+            f = self.fusion(torch.cat([a[:, :n], v[:, :n]], dim=-1))
+            for blk in self.fconf:
+                f = blk(f)
+            return self.head(f)
+
+    model = TorchAV()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-4)
+    ctc = nn.CTCLoss(zero_infinity=True)
+
+    b = 2
+    tv = AUDIO_LEN // 640 + 1
+    video = torch.randn(b, 1, tv, 44, 44)  # post-crop 88 -> stem halves to 44
+    mel = torch.randn(b, 1, 80, AUDIO_LEN // 160 + 1)
+    labels = torch.randint(1, 256, (b, LABEL_LEN))
+
+    def step():
+        opt.zero_grad()
+        logits = model(video, mel)
+        lp = torch.log_softmax(logits, dim=-1).transpose(0, 1)
+        tlen = torch.full((b,), logits.shape[1], dtype=torch.long)
+        loss = ctc(lp, labels, tlen, torch.full((b,), LABEL_LEN, dtype=torch.long))
+        loss.backward()
+        opt.step()
+
+    step()  # warmup
+    t0 = time.time()
+    n_steps = 2
+    for _ in range(n_steps):
+        step()
+    dt = time.time() - t0
+    utt_per_sec = b * n_steps / dt
+    with open(BASELINE_FILE, "w") as f:
+        json.dump({"torch_cpu_utt_per_sec": utt_per_sec,
+                   "batch": b, "audio_seconds": AUDIO_SECONDS}, f)
+    return utt_per_sec
+
+
+def main():
+    baseline = None
+    try:
+        baseline = bench_torch_cpu_baseline()
+    except Exception as e:
+        print(f"baseline measurement failed: {e}", file=sys.stderr)
+
+    utt_per_sec, loss = bench_jax()
+    result = {
+        "metric": "train_utterances_per_sec_per_chip",
+        "value": round(utt_per_sec, 3),
+        "unit": "utt/s/chip",
+        "vs_baseline": (round(utt_per_sec / baseline, 2)
+                        if baseline else None),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
