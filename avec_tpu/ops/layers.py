@@ -179,6 +179,29 @@ class ConvTranspose(nn.Module):
         return y
 
 
+def _pool_views(x, ks, strides, padding, pad_value):
+    """Stack of prod(ks) strided views covering each pooling window.
+
+    Pooling is expressed as an elementwise reduction over shifted strided
+    slices instead of lax.reduce_window: reduce_window(max) has no transpose
+    rule under lax.scan partial-eval (grad-inside-scan, our gradient
+    accumulation), while slicing + jnp.maximum/mean differentiates anywhere.
+    Kernels here are tiny (<= 3 per dim), so the unrolled views are cheap.
+    """
+    import itertools
+
+    n = x.ndim - 2
+    pads = conv_padding(ks, padding)
+    x = jnp.pad(x, ((0, 0),) + pads + ((0, 0),), constant_values=pad_value)
+    out_shape = [(x.shape[1 + i] - ks[i]) // strides[i] + 1 for i in range(n)]
+    views = []
+    for offsets in itertools.product(*[range(k) for k in ks]):
+        idx = tuple(slice(o, o + (out_shape[i] - 1) * strides[i] + 1, strides[i])
+                    for i, o in enumerate(offsets))
+        views.append(x[(slice(None),) + idx + (slice(None),)])
+    return views
+
+
 def max_pool(x, kernel_size, strides=None, padding: PaddingLike = "valid"):
     """Channels-last max pool with reference padding policies.
 
@@ -187,9 +210,15 @@ def max_pool(x, kernel_size, strides=None, padding: PaddingLike = "valid"):
     n = x.ndim - 2
     ks = _tuple(kernel_size, n)
     strides = _tuple(strides if strides is not None else kernel_size, n)
-    pads = ((0, 0),) + conv_padding(ks, padding) + ((0, 0),)
-    return lax.reduce_window(x, -jnp.inf if x.dtype.kind == "f" else jnp.iinfo(x.dtype).min,
-                             lax.max, (1,) + ks + (1,), (1,) + strides + (1,), pads)
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        pad_value = -jnp.inf
+    else:
+        pad_value = jnp.iinfo(x.dtype).min
+    views = _pool_views(x, ks, strides, padding, pad_value)
+    out = views[0]
+    for v in views[1:]:
+        out = jnp.maximum(out, v)
+    return out
 
 
 def avg_pool(x, kernel_size, strides=None, padding: PaddingLike = "valid"):
@@ -197,10 +226,11 @@ def avg_pool(x, kernel_size, strides=None, padding: PaddingLike = "valid"):
     n = x.ndim - 2
     ks = _tuple(kernel_size, n)
     strides = _tuple(strides if strides is not None else kernel_size, n)
-    pads = ((0, 0),) + conv_padding(ks, padding) + ((0, 0),)
-    summed = lax.reduce_window(x, jnp.zeros((), x.dtype), lax.add,
-                               (1,) + ks + (1,), (1,) + strides + (1,), pads)
-    return summed / np.prod(ks)
+    views = _pool_views(x, ks, strides, padding, 0)
+    out = views[0]
+    for v in views[1:]:
+        out = out + v
+    return out / np.prod(ks)
 
 
 def upsample_nearest(x, scale_factor: int, axis: int = 1):
@@ -327,6 +357,32 @@ class Dropout(nn.Module):
         rng = self.make_rng("dropout")
         mask = jax.random.bernoulli(rng, p=keep, shape=x.shape)
         return jnp.where(mask, x / keep, jnp.zeros((), x.dtype))
+
+
+class LSTM(nn.Module):
+    """Multi-layer (optionally bidirectional) LSTM over (B, T, D).
+
+    Parity target: nnet/layers.py:1049-1132 (torch LSTM wrapper with
+    batch_first semantics). Built on linen's scan-based OptimizedLSTMCell.
+    """
+
+    hidden_size: int
+    num_layers: int = 1
+    bidirectional: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for layer in range(self.num_layers):
+            fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size),
+                         name=f"lstm_{layer}")
+            if self.bidirectional:
+                bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size),
+                             reverse=True, keep_order=True,
+                             name=f"lstm_{layer}_rev")
+                x = jnp.concatenate([fwd(x), bwd(x)], axis=-1)
+            else:
+                x = fwd(x)
+        return x
 
 
 norm_dict = {
