@@ -332,6 +332,37 @@ class MultiLayerPerceptron(nn.Module):
         return x
 
 
+class InceptionModule(nn.Module):
+    """GoogLeNet Inception module (ref: nnet/modules.py:187-251).
+
+    Four parallel branches (1x1 / 1x1->k0 / 1x1->k1 / pool->1x1) concatenated
+    on channels; channels-last NHWC.
+    """
+
+    out_channels: Sequence[int]  # [C0, C1, C2, C3, C4, C5]
+    kernel_sizes: Sequence[int] = (3, 5)
+    ndim: int = 2
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        from avec_tpu.ops.layers import max_pool
+
+        def conv_bn_relu(y, ch, k, name):
+            y = Conv(ch, k, ndim=self.ndim, use_bias=False, name=name)(y)
+            y = BatchNorm(name=name + "_bn")(y, use_running_average=deterministic)
+            return get_act("ReLU")(y)
+
+        c = self.out_channels
+        b0 = conv_bn_relu(x, c[0], 1, "branch0")
+        b1 = conv_bn_relu(x, c[1], 1, "branch1a")
+        b1 = conv_bn_relu(b1, c[2], self.kernel_sizes[0], "branch1b")
+        b2 = conv_bn_relu(x, c[3], 1, "branch2a")
+        b2 = conv_bn_relu(b2, c[4], self.kernel_sizes[1], "branch2b")
+        b3 = max_pool(x, (3,) * self.ndim, (1,) * self.ndim, padding="same")
+        b3 = conv_bn_relu(b3, c[5], 1, "branch3")
+        return jnp.concatenate([b0, b1, b2, b3], axis=-1)
+
+
 class ConvNeuralNetwork(nn.Module):
     """Conv -> norm -> act -> dropout stack (ref: nnet/modules.py:70-130).
 
@@ -372,4 +403,46 @@ class ConvNeuralNetwork(nn.Module):
                 x = Dropout(self.drop_rate)(x, deterministic=deterministic)
             if lengths is not None:
                 lengths = (lengths - 1) // 2 + 1  # ref modules.py:128
+        return x if lengths is None else (x, lengths)
+
+
+class ConvTransposeNeuralNetwork(nn.Module):
+    """ConvTranspose -> norm -> act -> dropout stack
+    (ref: nnet/modules.py:132-181)."""
+
+    dim_layers: Sequence[int]
+    kernel_size: Any
+    ndim: int = 2
+    strides: Any = 1
+    padding: Any = 0
+    output_padding: Any = 0
+    norm: Any = None
+    act_fun: Any = "ReLU"
+    drop_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, lengths=None, deterministic: bool = True):
+        from avec_tpu.ops.layers import ConvTranspose
+
+        dims = ([self.dim_layers] if isinstance(self.dim_layers, int)
+                else list(self.dim_layers))
+        for i, dim in enumerate(dims):
+            ks = (self.kernel_size[i] if isinstance(self.kernel_size, list)
+                  else self.kernel_size)
+            st = self.strides[i] if isinstance(self.strides, list) else self.strides
+            pad = self.padding[i] if isinstance(self.padding, list) else self.padding
+            opad = (self.output_padding[i] if isinstance(self.output_padding, list)
+                    else self.output_padding)
+            x = ConvTranspose(dim, kernel_size=ks, ndim=self.ndim, strides=st,
+                              padding=pad, output_padding=opad,
+                              name=f"convt_{i}")(x)
+            if self.norm is not None:
+                norm_cls = norm_dict[self.norm] if isinstance(self.norm, str) else self.norm
+                if norm_cls is BatchNorm:
+                    x = norm_cls()(x, use_running_average=deterministic)
+                else:
+                    x = norm_cls()(x)
+            x = get_act(self.act_fun)(x)
+            if self.drop_rate > 0:
+                x = Dropout(self.drop_rate)(x, deterministic=deterministic)
         return x if lengths is None else (x, lengths)

@@ -106,6 +106,9 @@ class Conv(nn.Module):
     use_bias: bool = True
     weight_init: Any = "default"
     bias_init: Any = "default"
+    # Optional fixed weight mask (PixelCNN A/B-style causal masks,
+    # ref nnet/layers.py:468-484): array broadcastable to the kernel.
+    kernel_mask: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
@@ -117,6 +120,8 @@ class Conv(nn.Module):
         kernel_shape = ks + (in_ch // self.groups, self.features)
         # torch fan_in for conv = (in_ch / groups) * prod(kernel).
         kernel = self.param("kernel", get_init(self.weight_init), kernel_shape)
+        if self.kernel_mask is not None:
+            kernel = kernel * jnp.asarray(self.kernel_mask, kernel.dtype)
         dn = lax.conv_dimension_numbers(
             x.shape, kernel_shape,
             ("NHWC"[:1] + "DHW"[3 - self.ndim:] + "C",
@@ -243,6 +248,26 @@ def global_avg_pool(x, axes=None):
     if axes is None:
         axes = tuple(range(1, x.ndim - 1))
     return x.mean(axis=axes)
+
+
+def global_max_pool(x, axes=None):
+    """Max over all spatial axes (nnet/layers.py GlobalMaxPool2d :1000s)."""
+    if axes is None:
+        axes = tuple(range(1, x.ndim - 1))
+    return x.max(axis=axes)
+
+
+def pixelcnn_mask(kernel_size: Sequence[int], mask_type: str = "A") -> np.ndarray:
+    """PixelCNN A/B causal kernel mask over spatial dims
+    (ref: nnet/layers.py:468-484). Shape (*kernel, 1, 1)."""
+    ks = tuple(kernel_size)
+    mask = np.ones(ks, dtype=np.float32)
+    center = [k // 2 for k in ks]
+    flat = mask.reshape(-1)
+    center_flat = int(np.ravel_multi_index(center, ks))
+    cutoff = center_flat if mask_type == "A" else center_flat + 1
+    flat[cutoff:] = 0.0
+    return mask.reshape(ks + (1, 1))
 
 
 class LayerNorm(nn.Module):
