@@ -27,6 +27,7 @@ from avec_tpu.ops.pos_embeddings import PosEmbedding1d, SinPosEmbedding  # noqa:
 # --- training engine ----------------------------------------------------
 from avec_tpu.train import schedulers  # noqa: F401
 from avec_tpu.train.model import Model  # noqa: F401
+from avec_tpu.ops.rnnt import RNNTLoss, rnnt_loss  # noqa: F401
 from avec_tpu.train.losses import (  # noqa: F401
     CTCLoss,
     HingeLoss,

@@ -235,6 +235,19 @@ class ConformerBlock(nn.Module):
         return x
 
 
+class _BlockScanCell(nn.Module):
+    """Scan cell wrapping one ConformerBlock (see ConformerInterCTC)."""
+
+    block_kwargs: Dict
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        y = ConformerBlock(**self.block_kwargs, name="block")(
+            x, mask=mask, deterministic=self.deterministic)
+        return y, None
+
+
 class ConformerInterCTC(nn.Module):
     """Multi-stage Conformer stack with interleaved InterCTC modules.
 
@@ -242,6 +255,12 @@ class ConformerInterCTC(nn.Module):
     expand dims; InterCTC outputs are keyed "{loss_prefix}_{i}" with 0-based
     block index i (networks.py:289). Masks/lengths are re-strided after each
     strided block.
+
+    TPU-first: consecutive identical blocks (same dims, stride 1, same
+    attention, no InterCTC tap between them) execute under nn.scan with
+    stacked parameters — one traced block per homogeneous run instead of N,
+    shrinking the HLO graph and compile time multiplicatively while XLA still
+    unrolls nothing at runtime (lax.scan).
     """
 
     dim_model: Union[int, Sequence[int]]
@@ -257,14 +276,12 @@ class ConformerInterCTC(nn.Module):
     conv_stride: Union[int, Sequence[int]] = 2
     batch_norm: bool = True
 
-    @nn.compact
-    def __call__(self, x, lengths=None, mask=None, deterministic: bool = True):
+    def _block_plan(self):
+        """Static per-block configs + homogeneous-run grouping."""
         dims = [self.dim_model] if isinstance(self.dim_model, int) else list(self.dim_model)
         nblocks = [self.num_blocks] if isinstance(self.num_blocks, int) else list(self.num_blocks)
-
-        x = Dropout(self.drop_rate)(x, deterministic=deterministic)
-
-        interctc_outputs = {}
+        interctc = set(self.interctc_blocks)
+        blocks = []
         i = 0
         for stage_id in range(len(nblocks)):
             for block_id in range(nblocks[stage_id]):
@@ -280,34 +297,72 @@ class ConformerInterCTC(nn.Module):
                        if isinstance(self.att_params, (list, tuple))
                        else self.att_params)
                 dim_out = dims[stage_id + (1 if down_block else 0)]
+                blocks.append(dict(
+                    index=i,
+                    kwargs=dict(dim_model=dims[stage_id], dim_expand=dim_out,
+                                ff_ratio=self.ff_ratio, att_params=att,
+                                drop_rate=self.drop_rate, conv_stride=stride,
+                                kernel_size=self.kernel_size,
+                                conv_padding=self.conv_padding,
+                                batch_norm=self.batch_norm),
+                    interctc=(i + 1) in interctc,
+                    stride=stride, dim_out=dim_out))
+                i += 1
 
-                x = ConformerBlock(
-                    dim_model=dims[stage_id],
-                    dim_expand=dim_out,
-                    ff_ratio=self.ff_ratio,
-                    att_params=att,
-                    drop_rate=self.drop_rate,
-                    conv_stride=stride,
-                    kernel_size=self.kernel_size,
-                    conv_padding=self.conv_padding,
-                    batch_norm=self.batch_norm,
-                    name=f"block_{i}")(x, mask=mask, deterministic=deterministic)
+        # Group consecutive STRICTLY uniform blocks (stride 1, no InterCTC
+        # tap, identical config); boundary blocks become singleton runs.
+        runs, current = [], []
+        for b in blocks:
+            uniform = b["stride"] == 1 and not b["interctc"]
+            if uniform and current and current[0]["kwargs"] == b["kwargs"]:
+                current.append(b)
+            elif uniform:
+                if current:
+                    runs.append(current)
+                current = [b]
+            else:
+                if current:
+                    runs.append(current)
+                    current = []
+                runs.append([b])
+        if current:
+            runs.append(current)
+        return runs
 
+    @nn.compact
+    def __call__(self, x, lengths=None, mask=None, deterministic: bool = True):
+        x = Dropout(self.drop_rate)(x, deterministic=deterministic)
+
+        interctc_outputs = {}
+        for run in self._block_plan():
+            if len(run) > 1:  # strictly uniform by construction
+                first, last = run[0]["index"], run[-1]["index"]
+                scan = nn.scan(
+                    _BlockScanCell,
+                    variable_axes={"params": 0, "batch_stats": 0},
+                    split_rngs={"params": True, "dropout": True},
+                    in_axes=(nn.broadcast,),
+                    length=len(run),
+                )(block_kwargs=run[0]["kwargs"], deterministic=deterministic,
+                  name=f"blocks_{first}_{last}")
+                x, _ = scan(x, mask)
+                continue
+
+            for b in run:
+                x = ConformerBlock(**b["kwargs"], name=f"block_{b['index']}")(
+                    x, mask=mask, deterministic=deterministic)
                 logits = None
-                if (i + 1) in list(self.interctc_blocks):
+                if b["interctc"]:
                     x, logits = InterCTCResModule(
-                        dim_model=dim_out, vocab_size=self.vocab_size,
-                        name=f"interctc_{i}")(x)
-                    key = f"{self.loss_prefix}_{i}"
-
-                if stride > 1:
-                    mask = downsample_mask(mask, stride)
+                        dim_model=b["dim_out"], vocab_size=self.vocab_size,
+                        name=f"interctc_{b['index']}")(x)
+                    key = f"{self.loss_prefix}_{b['index']}"
+                if b["stride"] > 1:
+                    mask = downsample_mask(mask, b["stride"])
                     if lengths is not None:
-                        lengths = strided_lengths(lengths, stride)
-
+                        lengths = strided_lengths(lengths, b["stride"])
                 if logits is not None:
                     interctc_outputs[key] = [logits, lengths]
-                i += 1
 
         return x, lengths, interctc_outputs
 
