@@ -468,19 +468,26 @@ class Model:
                 self._load_state(state)
                 n_steps += 1
 
+                # Device-side accumulation: no host sync in the hot loop
+                # (values are fetched only at log periods / epoch end).
                 for k, v in losses.items():
-                    epoch_losses[k] = epoch_losses.get(k, 0.0) + float(v)
+                    epoch_losses[k] = (epoch_losses[k] + v
+                                       if k in epoch_losses else v)
                 for k, v in metrics.items():
-                    epoch_metrics[k] = epoch_metrics.get(k, 0.0) + float(v)
-                self.infos.update({"lr": float(infos["lr"]),
-                                   "grad_norm": round(float(infos["grad_norm"]), 4),
-                                   "step": self.model_step})
+                    epoch_metrics[k] = (epoch_metrics[k] + v
+                                        if k in epoch_metrics else v)
 
-                if self.rank == 0 and (step_i % step_log_period == 0):
-                    self._display(epoch_losses, epoch_metrics, n_steps)
-                if writer and self.model_step % step_log_period == 0:
-                    self._log(writer, "Training-step", self.model_step,
-                              losses, metrics, self.infos)
+                if ((self.rank == 0 or writer)
+                        and self.model_step % step_log_period == 0):
+                    self.infos.update({
+                        "lr": float(infos["lr"]),
+                        "grad_norm": round(float(infos["grad_norm"]), 4),
+                        "step": self.model_step})
+                    if self.rank == 0:
+                        self._display(epoch_losses, epoch_metrics, n_steps)
+                    if writer:
+                        self._log(writer, "Training-step", self.model_step,
+                                  losses, metrics, self.infos)
 
                 # Periodic eval/save by step (ref model.py:766-780).
                 if (eval_period_step and dataset_eval is not None
