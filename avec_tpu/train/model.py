@@ -437,6 +437,34 @@ class Model:
         writer = self._make_writer(callback_path)
         train_step = None
 
+        try:
+            self._fit_loop(dataset_train, epochs, dataset_eval, eval_steps,
+                           verbose_eval, initial_epoch, callback_path,
+                           steps_per_epoch, precision, accumulated_steps,
+                           eval_period_step, eval_period_epoch,
+                           saving_period_step, saving_period_epoch,
+                           step_log_period, eval_training, recompute_metrics,
+                           writer)
+        except Exception as e:
+            # Log the failure then re-raise (ref: nnet/model.py:820-828).
+            if writer is not None:
+                try:
+                    writer.add_text("Exceptions",
+                                    f"Rank: {self.rank}\n{e}", self.model_step)
+                except Exception:
+                    pass
+            raise
+        finally:
+            if writer:
+                writer.close()
+
+    def _fit_loop(self, dataset_train, epochs, dataset_eval, eval_steps,
+                  verbose_eval, initial_epoch, callback_path, steps_per_epoch,
+                  precision, accumulated_steps, eval_period_step,
+                  eval_period_epoch, saving_period_step, saving_period_epoch,
+                  step_log_period, eval_training, recompute_metrics, writer):
+        train_step = None
+
         for epoch in range(initial_epoch, epochs):
             dataset_train.set_epoch(epoch)
             if self.rank == 0:
@@ -526,9 +554,6 @@ class Model:
                 self.save(os.path.join(
                     callback_path,
                     f"checkpoints_epoch_{epoch + 1}_step_{self.model_step}.ckpt"))
-
-        if writer:
-            writer.close()
 
     def _stack_micro(self, batch, accum: int):
         """(A*B, ...) arrays -> (A, B, ...) micro-batch stacks."""

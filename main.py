@@ -61,6 +61,15 @@ def main(args):
 
     assert args.mode in ["training", "evaluation", "swa", "pass", "eval_time"]
 
+    # Profiling (SURVEY §5: the reference has only eval_time; we add real
+    # tracing): --profile writes a TensorBoard-viewable XLA trace.
+    profile_ctx = None
+    if args.profile:
+        trace_dir = os.path.join(args.config.callback_path, "profile")
+        os.makedirs(trace_dir, exist_ok=True)
+        jax.profiler.start_trace(trace_dir)
+        print(f"Profiling to {trace_dir}")
+
     if args.mode == "training":
         model.fit(
             dataset_train=dataset_train,
@@ -114,6 +123,9 @@ def main(args):
         if args.rank == 0:
             print(f"Eval time: {eval_time}")
 
+    if args.profile:
+        jax.profiler.stop_trace()
+
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
@@ -165,6 +177,8 @@ if __name__ == "__main__":
 
     # Debug
     parser.add_argument("--detect_anomaly", action="store_true")
+    parser.add_argument("--profile", action="store_true",
+                        help="Write an XLA profiler trace under callback_path")
 
     args = parser.parse_args()
 
