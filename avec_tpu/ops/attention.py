@@ -30,6 +30,7 @@ per batch element); everything is einsum -> MXU.
 
 from typing import Any, Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -132,27 +133,88 @@ class MultiHeadAttention(nn.Module):
 class RelPos1dMultiHeadAttention(MultiHeadAttention):
     """Relative-position MHA (ref: nnet/attentions.py:215-323).
 
-    scores = (Q K^T + rel_to_abs(Q E^T)) / sqrt(d), E = Linear(rel sinusoid).
+    Reference formulation: scores = (Q K^T + rel_to_abs(Q E^T)) / sqrt(d)
+    with E = Linear(rel sinusoid table of 2T-1 rows) and the pad/flatten
+    skewing trick.
+
+    TPU-first default (`factorized=True`): the sinusoidal relative scores
+    factorize EXACTLY through the angle-difference identities
+
+        sin((i-j)w) = sin(iw)cos(jw) - cos(iw)sin(jw)
+        cos((i-j)w) = cos(iw)cos(jw) + sin(iw)sin(jw)
+
+    so scores_E[i, j] = A[i] . B[j] with A, B of width D (2 * D/2): one more
+    MXU matmul instead of materializing the (B, H, T, 2T-1) relative score
+    tensor + its padded/reshaped skew copies in HBM. Numerically equivalent
+    (fp reassociation only); `factorized=False` keeps the skew path.
     """
 
     num_pos_embeddings: int = 10000
     causal: bool = False
+    factorized: bool = True
 
     def setup(self):
         super().setup()
-        self.pos_layer = Linear(self.dim_model, name="pos_layer")
+        from avec_tpu.ops.inits import torch_default, torch_default_bias
+
+        # pos_layer as raw params (shared by both the factorized and skew
+        # paths; a Linear submodule would only materialize under the skew
+        # path's call).
+        d = self.dim_model
+        self.pos_kernel = self.param("pos_kernel", torch_default, (d, d))
+        self.pos_bias = self.param("pos_bias", torch_default_bias(d), (d,))
+
+    def _rel_scores_factorized(self, qv, t):
+        """scores_E (B, H, T, T) via the rank-D factorization.
+
+        qv: (B, H, T, d) query (already bias-added where applicable).
+        """
+        d_model = self.dim_model
+        half = d_model // 2
+        w = self.pos_kernel  # (D, D)
+        b = self.pos_bias    # (D,)
+        dtype = qv.dtype
+        # Per-head slices of the sin/cos rows of W:
+        # ws[m, h, c] = W[2m, h*dh + c], wc likewise for odd rows.
+        w = w.reshape(d_model, self.num_heads, self.dim_head).astype(dtype)
+        ws, wc = w[0::2], w[1::2]                   # (D/2, H, d)
+        bh = b.reshape(self.num_heads, self.dim_head).astype(dtype)
+
+        # U_s[b,h,i,m] = qv . ws_m ; U_c likewise.
+        us = jnp.einsum("bhid,mhd->bhim", qv, ws)
+        uc = jnp.einsum("bhid,mhd->bhim", qv, wc)
+
+        pos = jnp.arange(t, dtype=jnp.float32)
+        inv_freq = jnp.asarray(
+            1.0 / (10000.0 ** (2.0 * np.arange(half) / d_model)),
+            dtype=jnp.float32)
+        ang = pos[:, None] * inv_freq[None, :]      # (T, D/2)
+        sin_t = jnp.sin(ang).astype(dtype)
+        cos_t = jnp.cos(ang).astype(dtype)
+
+        a1 = us * sin_t + uc * cos_t                # pairs with cos_j
+        a2 = uc * sin_t - us * cos_t                # pairs with sin_j
+        scores = (jnp.einsum("bhim,jm->bhij", a1, cos_t)
+                  + jnp.einsum("bhim,jm->bhij", a2, sin_t))
+        bias_term = jnp.einsum("bhid,hd->bhi", qv, bh)
+        return scores + bias_term[..., None]
 
     def forward_qkv(self, q_in, k_in, v_in, mask=None, deterministic: bool = True):
         t = q_in.shape[1]
         q = _split_heads(self.query_layer(q_in), self.num_heads, self.dim_head)
         k = _split_heads(self.key_layer(k_in), self.num_heads, self.dim_head)
         v = _split_heads(self.value_layer(v_in), self.num_heads, self.dim_head)
-        # (1, 2T-1, D) -> (1, H, 2T-1, d); shared across the batch.
-        e = self.pos_layer(
-            relative_pos_encoding(t, self.dim_model, self.causal).astype(q_in.dtype))
-        e = _split_heads(e, self.num_heads, self.dim_head)
         scores_k = jnp.einsum("bhqd,bhkd->bhqk", q, k)
-        scores_e = rel_to_abs(jnp.einsum("bhqd,xhkd->bhqk", q, e), self.causal)
+        if self.factorized and not self.causal:
+            scores_e = self._rel_scores_factorized(q, t)
+        else:
+            # (1, 2T-1, D) -> (1, H, 2T-1, d); shared across the batch.
+            pe = relative_pos_encoding(
+                t, self.dim_model, self.causal).astype(q_in.dtype)
+            e = pe @ self.pos_kernel.astype(pe.dtype) + self.pos_bias.astype(pe.dtype)
+            e = _split_heads(e, self.num_heads, self.dim_head)
+            scores_e = rel_to_abs(
+                jnp.einsum("bhqd,xhkd->bhqk", q, e), self.causal)
         scores = (scores_k + scores_e) / self.dim_head ** 0.5
         o = _attend(scores, v, mask, self.dropout, deterministic)
         return self._proj_out(_merge_heads(o))
