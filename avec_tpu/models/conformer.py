@@ -114,15 +114,25 @@ class ConvolutionModule(nn.Module):
     kernel_size: int = 15
     padding: str = "same"
     batch_norm: bool = True
+    transposed: bool = False  # upsampling variant (ref blocks.py:269-280)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from avec_tpu.ops.layers import ConvTranspose
+
         x = LayerNorm(epsilon=1e-6)(x)
         x = Conv(2 * self.dim_expand, kernel_size=1, ndim=1)(x)
         x = glu(x, axis=-1)
-        x = Conv(self.dim_expand, kernel_size=self.kernel_size, ndim=1,
-                 strides=self.stride, padding=self.padding,
-                 groups=self.dim_expand)(x)
+        if self.transposed:
+            # out = T * stride: padding (k-1)//2, output_padding stride-1.
+            x = ConvTranspose(self.dim_expand, kernel_size=self.kernel_size,
+                              ndim=1, strides=self.stride,
+                              padding=(self.kernel_size - 1) // 2,
+                              output_padding=max(self.stride - 1, 0))(x)
+        else:
+            x = Conv(self.dim_expand, kernel_size=self.kernel_size, ndim=1,
+                     strides=self.stride, padding=self.padding,
+                     groups=self.dim_expand)(x)
         if self.batch_norm:
             x = BatchNorm()(x, use_running_average=deterministic)
         else:
@@ -190,6 +200,7 @@ class ConformerBlock(nn.Module):
     act_fun: Any = "Swish"
     batch_norm: bool = True
     block_norm: bool = True
+    transposed: bool = False  # upsampling block (ref blocks.py:269-284)
 
     @property
     def stride(self):
@@ -213,13 +224,27 @@ class ConformerBlock(nn.Module):
             drop_rate=self.drop_rate, stride=self.conv_stride,
             act_fun=self.act_fun, kernel_size=self.kernel_size,
             padding=self.conv_padding, batch_norm=self.batch_norm,
+            transposed=self.transposed,
             name="conv_module")(x, deterministic=deterministic)
 
         if self.dim_model != self.dim_expand:
-            res = Conv(self.dim_expand, kernel_size=1, ndim=1,
-                       strides=self.conv_stride, name="conv_res")(x)
+            if self.transposed:
+                from avec_tpu.ops.layers import ConvTranspose
+
+                res = ConvTranspose(self.dim_expand, kernel_size=1, ndim=1,
+                                    strides=self.conv_stride,
+                                    output_padding=max(self.conv_stride - 1, 0),
+                                    name="conv_res")(x)
+            else:
+                res = Conv(self.dim_expand, kernel_size=1, ndim=1,
+                           strides=self.conv_stride, name="conv_res")(x)
         elif self.conv_stride > 1:
-            res = max_pool(x, (1,), (self.conv_stride,))
+            if self.transposed:
+                from avec_tpu.ops.layers import upsample_nearest
+
+                res = upsample_nearest(x, self.conv_stride, axis=1)
+            else:
+                res = max_pool(x, (1,), (self.conv_stride,))
         else:
             res = x
         x = res + conv_out

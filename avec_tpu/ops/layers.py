@@ -346,6 +346,28 @@ class GroupNorm(nn.Module):
         return nn.GroupNorm(num_groups=self.num_groups, epsilon=self.epsilon)(x)
 
 
+class InstanceNorm(nn.Module):
+    """InstanceNorm over spatial axes per sample+channel
+    (nnet/normalizations.py:251-283). torch default: no affine."""
+
+    epsilon: float = 1e-5
+    affine: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        axes = tuple(range(1, x.ndim - 1))
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=axes, keepdims=True)
+        var = ((xf - mean) ** 2).mean(axis=axes, keepdims=True)
+        y = (xf - mean) * lax.rsqrt(var + self.epsilon)
+        if self.affine:
+            dim = x.shape[-1]
+            scale = self.param("scale", ones_init, (dim,))
+            bias = self.param("bias", zeros_init, (dim,))
+            y = y * scale + bias
+        return y.astype(x.dtype)
+
+
 class Embedding(nn.Module):
     """Token embedding (nnet/layers.py:1134-1181). torch default init N(0,1)."""
 
@@ -415,6 +437,26 @@ norm_dict = {
     "BatchNorm1d": BatchNorm,
     "BatchNorm2d": BatchNorm,
     "BatchNorm3d": BatchNorm,
+    # SyncBatchNorm parity: under a sharded batch axis plain BatchNorm IS
+    # synchronized (GSPMD inserts the cross-replica reductions).
+    "SyncBatchNorm": BatchNorm,
     "GroupNorm": GroupNorm,
+    "InstanceNorm2d": InstanceNorm,
+    "InstanceNorm3d": InstanceNorm,
     None: None,
+}
+
+# Layer registry mirroring nnet/layers.py:1372 (classes usable via string
+# specs in block configs).
+layer_dict = {
+    "Linear": Linear,
+    "Conv1d": lambda *a, **k: Conv(*a, ndim=1, **k),
+    "Conv2d": lambda *a, **k: Conv(*a, ndim=2, **k),
+    "Conv3d": lambda *a, **k: Conv(*a, ndim=3, **k),
+    "ConvTranspose1d": lambda *a, **k: ConvTranspose(*a, ndim=1, **k),
+    "ConvTranspose2d": lambda *a, **k: ConvTranspose(*a, ndim=2, **k),
+    "ConvTranspose3d": lambda *a, **k: ConvTranspose(*a, ndim=3, **k),
+    "LSTM": LSTM,
+    "Embedding": Embedding,
+    "Dropout": Dropout,
 }

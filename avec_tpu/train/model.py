@@ -122,17 +122,24 @@ class Model:
                      if hasattr(a, "dtype") and a.dtype == jnp.float32 else a
                      for a in args)
 
-    def apply_net(self, params, batch_stats, inputs, training: bool, rngs=None):
+    def apply_net(self, params, batch_stats, inputs, training: bool, rngs=None,
+                  with_aux: bool = False):
+        from avec_tpu.ops import module_utils as MU
+
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
         args = self._cast_inputs(self.net_inputs(inputs))
+        mutable = [MU.AUX_LOSS_COLLECTION, MU.INFO_COLLECTION]
         if training and batch_stats:
-            out, mut = self.net.apply(variables, *args, training=True,
-                                      rngs=rngs, mutable=["batch_stats"])
-            return _format_outputs(out), mut["batch_stats"]
-        out = self.net.apply(variables, *args, training=training, rngs=rngs)
-        return _format_outputs(out), batch_stats
+            mutable.append("batch_stats")
+        out, mut = self.net.apply(variables, *args, training=training,
+                                  rngs=rngs, mutable=mutable)
+        new_bs = mut.get("batch_stats", batch_stats)
+        if with_aux:
+            return (_format_outputs(out), new_bs,
+                    MU.harvest_aux_losses(mut), MU.harvest_infos(mut))
+        return _format_outputs(out), new_bs
 
     # -------------------------------------------------------------- compile
     def compile(self, losses=None, loss_weights=None, optimizer="Adam",
@@ -324,10 +331,18 @@ class Model:
         grad_max_norm = self.grad_max_norm
 
         def loss_fn(params, batch_stats, micro, rngs, step):
-            outputs, new_bs = self.apply_net(params, batch_stats,
-                                             micro["inputs"], True, rngs)
+            outputs, new_bs, aux_losses, _ = self.apply_net(
+                params, batch_stats, micro["inputs"], True, rngs,
+                with_aux=True)
             targets = self._map_targets(micro["targets"])
             losses = self._compute_losses(outputs, targets, step)
+            # Module-sown auxiliary losses (ref: nnet/model.py:327-333).
+            if aux_losses:
+                total = losses["loss"]
+                for name, (aux, weight) in aux_losses.items():
+                    losses["loss_" + name] = aux
+                    total = total + weight * aux
+                losses["loss"] = total
             metrics = (self._device_metrics(
                 jax.tree.map(lax.stop_gradient, outputs), targets)
                 if eval_training else {})
@@ -802,6 +817,20 @@ class Model:
                 f"checkpoints_swa-{swa_type}-{epochs_list[0]}-{epochs_list[-1]}.ckpt"),
                 save_optimizer=False)
         pmesh.sync_global_devices("swa")
+
+    # ------------------------------------------------------------- generate
+    def generate(self, dataset, saving_path=None):
+        """Sample-generation loop (ref: nnet/model.py:1017-1045); subclasses
+        implement forward_generate."""
+        if saving_path is not None and self.rank == 0:
+            os.makedirs(saving_path, exist_ok=True)
+        for ctr, batch in enumerate(dataset):
+            self.forward_generate(batch["inputs"], saving_path,
+                                  f"sample_{self.rank}_{ctr}")
+
+    def forward_generate(self, inputs, saving_path, name):
+        raise NotImplementedError(
+            "generation models must implement forward_generate")
 
     # ------------------------------------------------------------ eval_time
     def eval_time(self, dataset_eval, eval_steps=None, num_evals=10,

@@ -115,8 +115,19 @@ def gpt_decay_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(lambda p, _: decide(p), params)
 
 
+def RMSprop(lr=0.01, alpha=0.99, eps=1e-8, weight_decay=0.0, momentum=0.0,
+            params=None):
+    """torch RMSprop semantics (ref registry nnet/optimizers.py:184-189)."""
+    chain = [_decay_to_grad(weight_decay),
+             optax.scale_by_rms(decay=alpha, eps=eps)]
+    if momentum:
+        chain.append(optax.trace(decay=momentum))
+    return Optimizer(optax.chain(*chain), as_scheduler(lr), name="RMSprop")
+
+
 optim_dict = {
     "SGD": SGD,
+    "RMSprop": RMSprop,
     "Adam": Adam,
     "AdamW": AdamW,
 }
