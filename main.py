@@ -73,7 +73,8 @@ def main(args):
     if args.mode == "training":
         model.fit(
             dataset_train=dataset_train,
-            epochs=getattr(args.config, "epochs", 1000),
+            epochs=(args.epochs if args.epochs is not None
+                    else getattr(args.config, "epochs", 1000)),
             dataset_eval=dataset_eval,
             eval_steps=getattr(args.config, "eval_steps", args.eval_steps),
             verbose_eval=args.verbose_eval,
@@ -153,6 +154,8 @@ if __name__ == "__main__":
                         help="Log every process instead of only process 0")
 
     # Training
+    parser.add_argument("--epochs", type=int, default=None,
+                        help="Override config epochs")
     parser.add_argument("--steps_per_epoch", type=int, default=None)
     parser.add_argument("--saving_period_step", type=int, default=None)
     parser.add_argument("--saving_period_epoch", type=int, default=1)
