@@ -155,6 +155,10 @@ class RelPos1dMultiHeadAttention(MultiHeadAttention):
     # the skew path wins (695 vs 631 utt/s train) because the (T, 2T-1)
     # intermediates are small there; factorized wins for long sequences.
     factorized: bool = False
+    # Pallas flash kernel (ops/pallas_attention.py) over the factorized
+    # form: no O(T^2) HBM intermediates at all. Inference/long-context path
+    # (the kernel is forward-only; training uses the XLA paths).
+    use_flash: bool = False
 
     def setup(self):
         super().setup()
@@ -202,11 +206,22 @@ class RelPos1dMultiHeadAttention(MultiHeadAttention):
         bias_term = jnp.einsum("bhid,hd->bhi", qv, bh)
         return scores + bias_term[..., None]
 
-    def forward_qkv(self, q_in, k_in, v_in, mask=None, deterministic: bool = True):
+    def forward_qkv(self, q_in, k_in, v_in, mask=None, deterministic: bool = True,
+                    lengths=None):
         t = q_in.shape[1]
         q = _split_heads(self.query_layer(q_in), self.num_heads, self.dim_head)
         k = _split_heads(self.key_layer(k_in), self.num_heads, self.dim_head)
         v = _split_heads(self.value_layer(v_in), self.num_heads, self.dim_head)
+        if self.use_flash and not self.causal and deterministic:
+            from avec_tpu.ops.pallas_attention import rel_pos_flash_attention
+
+            if lengths is None and mask is not None and mask.shape[2] == 1:
+                # Recover lengths from a key-padding mask.
+                lengths = mask[:, 0, 0, :].sum(axis=-1).astype(jnp.int32)
+            o = rel_pos_flash_attention(
+                q, k, v, self.pos_kernel, self.pos_bias, self.dim_model,
+                self.num_heads, lengths=lengths)
+            return self._proj_out(_merge_heads(o))
         scores_k = jnp.einsum("bhqd,bhkd->bhqk", q, k)
         if self.factorized and not self.causal:
             scores_e = self._rel_scores_factorized(q, t)

