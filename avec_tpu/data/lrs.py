@@ -160,21 +160,28 @@ class LRS(Dataset):
             f"_label_max_length_{lmax}_paths.json")
         if os.path.isfile(cache):
             with open(cache) as f:
-                self.paths = json.load(f)
-            return
-        paths, lengths = [], []
-        for path in self.paths:
-            infos = _load_infos(path)
-            if (infos["video_len"] <= vmax and infos["audio_len"] <= amax
-                    and infos["label_len"] <= lmax):
-                paths.append(path)
-                lengths.append(infos["audio_len"])
-        if self.ascending:
+                cached = json.load(f)
+            # Old-style cache: bare path list; new-style: {paths, lengths}.
+            if isinstance(cached, dict):
+                paths, lengths = cached["paths"], cached["lengths"]
+            else:
+                paths, lengths = cached, None
+        else:
+            paths, lengths = [], []
+            for path in self.paths:
+                infos = _load_infos(path)
+                if (infos["video_len"] <= vmax and infos["audio_len"] <= amax
+                        and infos["label_len"] <= lmax):
+                    paths.append(path)
+                    lengths.append(int(infos["audio_len"]))
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            with open(cache, "w") as f:
+                json.dump({"paths": paths, "lengths": lengths}, f)
+        # Curriculum option: sort by duration (ref datasets.py:318-320;
+        # works here also on cache hits).
+        if self.ascending and lengths is not None:
             paths = [p for _, p in sorted(zip(lengths, paths))]
         self.paths = paths
-        os.makedirs(os.path.dirname(cache), exist_ok=True)
-        with open(cache, "w") as f:
-            json.dump(self.paths, f)
 
     def __len__(self):
         return len(self.paths)

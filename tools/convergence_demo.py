@@ -63,8 +63,16 @@ class ToneDataset:
             pieces.append((np.sin(2 * np.pi * freq * t) * env).astype(np.float32))
             pieces.append(np.zeros(gap, np.float32))
         audio = np.concatenate(pieces) * 0.3
-        audio += rng.randn(audio.shape[0]).astype(np.float32) * 0.01
-        return (audio, np.int32(audio.shape[0]), tokens, np.int32(n))
+        true_len = audio.shape[0]
+        # Fixed shapes: ONE train-step compilation (TPU-tunnel compiles are
+        # expensive; true lengths mask the padding).
+        max_audio = self.max_len * (burst + gap)
+        audio = np.pad(audio, (0, max_audio - true_len))
+        audio += rng.randn(max_audio).astype(np.float32) * 0.01
+        tokens_fixed = np.zeros(self.max_len, np.int32)
+        tokens_fixed[:n] = tokens
+        return (audio.astype(np.float32), np.int32(true_len),
+                tokens_fixed, np.int32(n))
 
 
 def make_token_tokenizer(vocab_size):
