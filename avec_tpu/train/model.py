@@ -782,19 +782,9 @@ class Model:
 
         if self.rank == 0:
             print("Updating Batch Normalization Statistics")
-        # Reset running stats (mean->0, var->1) then re-estimate in training
-        # mode (forward-only, ref model.py:988-1007).
-        def reset_stat(path, x):
-            leaf = getattr(path[-1], "key", str(path[-1]))
-            if leaf == "var":
-                return np.ones_like(x)
-            if leaf == "mean":
-                return np.zeros_like(x)
-            return np.asarray(x)
-
-        self.batch_stats = pmesh.replicate(self.mesh, jax.tree_util.tree_map_with_path(
-            reset_stat, jax.tree.map(np.asarray, self.batch_stats)))
-
+        # Re-estimate running stats with training-mode forward passes,
+        # starting from the last loaded checkpoint's stats (exactly the
+        # reference's loop, model.py:988-1007: train-mode BN EMA updates).
         bn_step = jax.jit(lambda p, bs, inputs, rng: self.apply_net(
             p, bs, inputs, True, {"dropout": rng, "augment": rng})[1])
 
