@@ -77,9 +77,22 @@ def bench_jax():
     jax.block_until_ready(state["params"])
     dt = time.time() - t0
 
+    # Eval (forward-only) throughput -> real-time factor.
+    fwd = jax.jit(lambda p, bs, inputs: model.apply_net(p, bs, inputs,
+                                                        False, None)[0])
+    ebatch = pmesh.host_local_batch_to_global(model.mesh, batch)
+    out = fwd(state["params"], state["batch_stats"], ebatch["inputs"])
+    jax.block_until_ready(out)
+    t1 = time.time()
+    for _ in range(STEPS):
+        out = fwd(state["params"], state["batch_stats"], ebatch["inputs"])
+    jax.block_until_ready(out)
+    dte = time.time() - t1
+
     n_chips = len(jax.devices())
     utt_per_sec = BATCH * STEPS / dt
-    return utt_per_sec / n_chips, float(losses["loss"])
+    eval_rtfx = BATCH * STEPS * AUDIO_SECONDS / dte / n_chips
+    return utt_per_sec / n_chips, eval_rtfx, float(losses["loss"])
 
 
 def bench_torch_cpu_baseline():
@@ -221,13 +234,16 @@ def main():
     except Exception as e:
         print(f"baseline measurement failed: {e}", file=sys.stderr)
 
-    utt_per_sec, loss = bench_jax()
+    utt_per_sec, eval_rtfx, loss = bench_jax()
     result = {
         "metric": "train_utterances_per_sec_per_chip",
         "value": round(utt_per_sec, 3),
         "unit": "utt/s/chip",
         "vs_baseline": (round(utt_per_sec / baseline, 2)
                         if baseline else None),
+        "eval_rtfx_per_chip": round(eval_rtfx, 1),
+        "batch": BATCH,
+        "audio_seconds": AUDIO_SECONDS,
     }
     print(json.dumps(result))
 
