@@ -110,8 +110,8 @@ def main():
     model.compile(
         losses=nnet.CTCLoss(zero_infinity=True, assert_shorter=False),
         loss_weights=[0.5 / 4] * 4 + [0.5],
-        optimizer=Adam(lr=NoamDecayScheduler(warmup_steps=500, dim_decay=360,
-                                             val_factor=5),
+        optimizer=Adam(lr=NoamDecayScheduler(warmup_steps=1000, dim_decay=360,
+                                             val_factor=1.5),
                        betas=(0.9, 0.98), eps=1e-9, weight_decay=1e-6),
         metrics={"outputs": nnet.WordErrorRate()},
         decoders={"outputs": CTCGreedySearchDecoder(tok_path)})
@@ -132,8 +132,9 @@ def main():
         losses, metrics = model.evaluate(eval_loader, recompute_metrics=True)
         wers.append(metrics.get("wer", float("nan")))
         print(f"[demo] step {model.model_step}: eval loss "
-              f"{losses['loss']:.3f} WER {wers[-1]:.2f}% "
+              f"{float(losses['loss']):.3f} WER {wers[-1]:.2f}% "
               f"({time.time() - t0:.0f}s elapsed)", flush=True)
+        sys.stdout.flush()
 
     print(f"[demo] WER trajectory: {[round(w, 1) for w in wers]}")
     if args.assert_wer is not None:
