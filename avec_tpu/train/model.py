@@ -105,7 +105,7 @@ class Model:
         self.mesh = None
         self.infos: Dict[str, Any] = {}
         self.output_names: Optional[List[str]] = None
-        self._train_step_fn = None
+        self._train_step_cache: Dict = {}
         self._eval_step_fn = None
         self._compute_dtype = jnp.float32
 
@@ -325,6 +325,16 @@ class Model:
         return mapped if mapped is not None else {k: None for k in self.output_names}
 
     # ------------------------------------------------------------ the steps
+    def _get_train_step(self, accumulated_steps: int, eval_training: bool):
+        """Cache jitted train steps across fit() calls (periodic-eval loops
+        call fit repeatedly; rebuilding would retrace + recompile)."""
+        key = (accumulated_steps, eval_training, self.ema_tau,
+               self.grad_max_norm)
+        if key not in self._train_step_cache:
+            self._train_step_cache[key] = self._build_train_step(
+                accumulated_steps, eval_training)
+        return self._train_step_cache[key]
+
     def _build_train_step(self, accumulated_steps: int, eval_training: bool):
         opt = self.optimizer
         ema_tau = self.ema_tau
@@ -497,8 +507,8 @@ class Model:
                         if hasattr(x, "shape") and x.ndim else x, batch)
                     self.build(micro["inputs"], precision=precision)
                 if train_step is None:
-                    train_step = self._build_train_step(accumulated_steps,
-                                                        eval_training)
+                    train_step = self._get_train_step(accumulated_steps,
+                                                      eval_training)
 
                 batch = self._stack_micro(batch, accumulated_steps)
                 # (A, B, ...) stacks: the batch axis is axis 1.

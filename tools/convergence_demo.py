@@ -91,6 +91,15 @@ def main():
                         help="Fail unless final WER < this value")
     args = parser.parse_args()
 
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/avec_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
     import avec_tpu as nnet
     from avec_tpu.data.loader import DataLoader
     from avec_tpu.decode.greedy import CTCGreedySearchDecoder
@@ -101,8 +110,10 @@ def main():
     tok_path = "/tmp/tone_tok.json"
     tok.save(tok_path)
 
-    train = ToneDataset(num_samples=512, vocab_size=args.vocab, seed=0)
-    test = ToneDataset(num_samples=64, vocab_size=args.vocab, seed=10_000)
+    # Enough samples that one 'epoch' covers eval_every optimizer steps.
+    train = ToneDataset(num_samples=args.eval_every * 16, vocab_size=args.vocab,
+                        seed=0)
+    test = ToneDataset(num_samples=64, vocab_size=args.vocab, seed=10_000_000)
     test.shuffle = False
 
     model = nnet.AudioEfficientConformerInterCTC(
