@@ -258,11 +258,12 @@ class Model:
                 "ema_params": self.ema_params,
                 "ema_batch_stats": self.ema_batch_stats}
 
-    def _load_state(self, state):
+    def _load_state(self, state, step: Optional[int] = None):
         self.params = state["params"]
         self.batch_stats = state["batch_stats"]
         self.opt_state = state["opt_state"]
-        self.model_step = int(state["step"])
+        # int(device_scalar) blocks; the hot loop tracks the step host-side.
+        self.model_step = step if step is not None else int(state["step"])
         self.ema_params = state["ema_params"]
         self.ema_batch_stats = state["ema_batch_stats"]
 
@@ -517,8 +518,9 @@ class Model:
                 rng = jax.random.fold_in(self.base_rng, self.model_step + 1)
 
                 state = self._state()
+                expected_step = self.model_step + 1
                 state, (losses, metrics, infos) = train_step(state, batch, rng)
-                self._load_state(state)
+                self._load_state(state, step=expected_step)
                 n_steps += 1
 
                 # Device-side accumulation: no host sync in the hot loop
