@@ -163,6 +163,10 @@ class Model:
             else:
                 self.compiled_loss_weights = [as_scheduler(v) for v in loss_weights]
         self.compiled_metrics = metric_dict[metrics]() if isinstance(metrics, str) else metrics
+        if isinstance(decoders, str):
+            from avec_tpu.decode import decoder_dict
+
+            decoders = decoder_dict[decoders]()
         self.compiled_decoders = decoders
         self.compiled = True
 
