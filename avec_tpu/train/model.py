@@ -865,10 +865,12 @@ class Model:
             out = fwd(self.params, self.batch_stats, inputs)
             logits_list.append(jax.tree.map(np.asarray, out))
             targets_list.append(batch["targets"])
-        np.save(os.path.join(callback_path, "logits.npy"),
-                np.asarray(logits_list, dtype=object), allow_pickle=True)
-        np.save(os.path.join(callback_path, "targets.npy"),
-                np.asarray(targets_list, dtype=object), allow_pickle=True)
+        import pickle
+
+        with open(os.path.join(callback_path, "logits.pkl"), "wb") as f:
+            pickle.dump(logits_list, f)
+        with open(os.path.join(callback_path, "targets.pkl"), "wb") as f:
+            pickle.dump(targets_list, f)
 
     # -------------------------------------------------------------- logging
     def _make_writer(self, callback_path):
