@@ -25,8 +25,8 @@ import time
 
 import numpy as np
 
-BATCH = 8
-AUDIO_SECONDS = 6
+BATCH = int(os.environ.get("BENCH_BATCH", 8))
+AUDIO_SECONDS = int(os.environ.get("BENCH_AUDIO_SECONDS", 6))
 AUDIO_LEN = AUDIO_SECONDS * 16000
 LABEL_LEN = 32
 WARMUP = 2
