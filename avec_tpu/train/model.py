@@ -205,8 +205,10 @@ class Model:
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
 
-        outputs = _format_outputs(
-            self.net.apply(variables, *args, training=False))
+        # Output-name discovery by tracing only (no compute/compile).
+        outputs = _format_outputs(jax.eval_shape(
+            lambda v, a: self.net.apply(v, *a, training=False),
+            variables, args))
         self.output_names = list(outputs.keys())
         out_proto = {k: None for k in self.output_names}
 
