@@ -72,6 +72,7 @@ class AudioEfficientConformerEncoder(nn.Module):
     interctc_blocks: Sequence[int] = (3, 6, 10, 13)
     num_blocks: Sequence[int] = (5, 6, 5)
     loss_prefix: str = "ctc"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, lengths, training: bool = False):
@@ -117,6 +118,7 @@ class AudioEfficientConformerEncoder(nn.Module):
                                          attn_drop_rate, max_pos_encoding, causal),
             kernel_size=kernel_size, ff_ratio=4, drop_rate=drop_rate,
             conv_stride=2, batch_norm=True, loss_prefix=self.loss_prefix,
+            remat=self.remat,
             name="back_end")(x, lengths, mask, deterministic=not training)
 
         if self.include_head:
@@ -138,6 +140,7 @@ class VisualEfficientConformerEncoder(nn.Module):
     interctc_blocks: Sequence[int] = (3, 6, 9)
     num_blocks: Sequence[int] = (6, 6)
     loss_prefix: str = "ctc"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, lengths, training: bool = False):
@@ -176,6 +179,7 @@ class VisualEfficientConformerEncoder(nn.Module):
             vocab_size=self.vocab_size, att_params=att,
             kernel_size=kernel_size, ff_ratio=4, drop_rate=drop_rate,
             conv_stride=2, batch_norm=True, loss_prefix=self.loss_prefix,
+            remat=self.remat,
             name="back_end")(x, lengths, mask, deterministic=not training)
 
         if self.include_head:
@@ -197,6 +201,7 @@ class AudioVisualEfficientConformerEncoder(nn.Module):
     v_interctc_blocks: Sequence[int] = (3, 6)
     a_interctc_blocks: Sequence[int] = (8, 11)
     f_interctc_blocks: Sequence[int] = (2,)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, video, video_len, audio, audio_len, training: bool = False):
@@ -207,13 +212,13 @@ class AudioVisualEfficientConformerEncoder(nn.Module):
         v, video_len, v_inter = VisualEfficientConformerEncoder(
             include_head=False, vocab_size=self.vocab_size,
             interctc_blocks=list(self.v_interctc_blocks), num_blocks=[6, 1],
-            loss_prefix="v_ctc", name="video_encoder")(
+            loss_prefix="v_ctc", remat=self.remat, name="video_encoder")(
                 video, video_len, training=training)
 
         a, audio_len, a_inter = AudioEfficientConformerEncoder(
             include_head=False, vocab_size=self.vocab_size,
             interctc_blocks=list(self.a_interctc_blocks), num_blocks=[5, 6, 1],
-            loss_prefix="a_ctc", name="audio_encoder")(
+            loss_prefix="a_ctc", remat=self.remat, name="audio_encoder")(
                 audio, audio_len, training=training)
 
         # Padded frame counts can differ by rounding of the padded (not true)
@@ -240,6 +245,7 @@ class AudioVisualEfficientConformerEncoder(nn.Module):
             vocab_size=self.vocab_size, att_params=att,
             kernel_size=kernel_size, ff_ratio=4, drop_rate=drop_rate,
             conv_stride=2, batch_norm=True, loss_prefix="f_ctc",
+            remat=self.remat,
             name="audio_visual_encoder")(x, lengths, mask,
                                          deterministic=not training)
 

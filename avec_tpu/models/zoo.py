@@ -175,6 +175,7 @@ class _AVInterCTCNet(nn.Module):
     v_interctc_blocks: Sequence[int] = (3, 6)
     a_interctc_blocks: Sequence[int] = (8, 11)
     f_interctc_blocks: Sequence[int] = (2,)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, video, video_len, audio, audio_len,
@@ -184,6 +185,7 @@ class _AVInterCTCNet(nn.Module):
             v_interctc_blocks=list(self.v_interctc_blocks),
             a_interctc_blocks=list(self.a_interctc_blocks),
             f_interctc_blocks=list(self.f_interctc_blocks),
+            remat=self.remat,
             name="encoder")(video, video_len, audio, audio_len,
                             training=training)
         outputs = {"outputs": [x, lengths]}
@@ -197,12 +199,12 @@ class AudioVisualEfficientConformerInterCTC(Model):
     def __init__(self, vocab_size: int = 256,
                  v_interctc_blocks: Sequence[int] = (3, 6),
                  a_interctc_blocks: Sequence[int] = (8, 11),
-                 f_interctc_blocks: Sequence[int] = (2,)):
+                 f_interctc_blocks: Sequence[int] = (2,), remat: bool = False):
         super().__init__(name="Audio-Visual Efficient Conformer Inter CTC")
         self.net = _AVInterCTCNet(
             vocab_size=vocab_size, v_interctc_blocks=tuple(v_interctc_blocks),
             a_interctc_blocks=tuple(a_interctc_blocks),
-            f_interctc_blocks=tuple(f_interctc_blocks))
+            f_interctc_blocks=tuple(f_interctc_blocks), remat=remat)
 
     def compile(self, losses=None, loss_weights=None, optimizer="Adam",
                 metrics=None, decoders=None):
