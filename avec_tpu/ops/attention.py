@@ -212,6 +212,9 @@ class RelPos1dMultiHeadAttention(MultiHeadAttention):
         q = _split_heads(self.query_layer(q_in), self.num_heads, self.dim_head)
         k = _split_heads(self.key_layer(k_in), self.num_heads, self.dim_head)
         v = _split_heads(self.value_layer(v_in), self.num_heads, self.dim_head)
+        # Flash path is gated to deterministic (no attention-weight dropout
+        # inside the kernel); it IS differentiable (custom_vjp with XLA
+        # recompute backward) so deterministic fine-tuning works too.
         if self.use_flash and not self.causal and deterministic:
             from avec_tpu.ops.pallas_attention import rel_pos_flash_attention
 

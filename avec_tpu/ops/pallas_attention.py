@@ -145,6 +145,49 @@ def flash_attention(q_aug: jnp.ndarray, k_aug: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(b, h, t_pad, dv_pad)[:, :, :t, :dv]
 
 
+def _xla_attention_reference(q_aug, k_aug, v, lengths, scale):
+    """Plain-XLA equivalent of the flash kernel (used for the backward)."""
+    t = q_aug.shape[2]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q_aug.astype(jnp.float32),
+                        k_aug.astype(jnp.float32)) * scale
+    if lengths is not None:
+        col = lax.broadcasted_iota(jnp.int32, (1, 1, 1, t), 3)
+        scores = jnp.where(col < lengths[:, None, None, None], scores, NEG_INF)
+    p = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p,
+                      v.astype(jnp.float32)).astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def flash_attention_trainable(q_aug, k_aug, v, lengths, scale,
+                              interpret=False):
+    """Differentiable flash attention: Pallas forward, XLA-recompute backward.
+
+    The forward never materializes (T, T) in HBM; the backward recomputes
+    attention with the XLA reference and differentiates it (activation-memory
+    win applies to the forward/inference path; backward is standard)."""
+    return flash_attention(q_aug, k_aug, v, lengths=lengths, scale=scale,
+                           interpret=interpret)
+
+
+def _flash_fwd(q_aug, k_aug, v, lengths, scale, interpret):
+    out = flash_attention(q_aug, k_aug, v, lengths=lengths, scale=scale,
+                          interpret=interpret)
+    return out, (q_aug, k_aug, v, lengths)
+
+
+def _flash_bwd(scale, interpret, res, g):
+    q_aug, k_aug, v, lengths = res
+    _, vjp = jax.vjp(
+        lambda q, k, vv: _xla_attention_reference(q, k, vv, lengths, scale),
+        q_aug, k_aug, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+flash_attention_trainable.defvjp(_flash_fwd, _flash_bwd)
+
+
 def rel_pos_flash_attention(q, k, v, pos_kernel, pos_bias, dim_model,
                             num_heads, lengths=None, interpret: bool = False):
     """Full rel-pos self-attention via the factorized flash path.
@@ -182,5 +225,5 @@ def rel_pos_flash_attention(q, k, v, pos_kernel, pos_bias, dim_model,
     k_aug = jnp.concatenate([k, bcast(cos_t), bcast(sin_t), ones], axis=-1)
 
     scale = 1.0 / math.sqrt(d)
-    return flash_attention(q_aug, k_aug, v, lengths=lengths, scale=scale,
-                           interpret=interpret)
+    return flash_attention_trainable(q_aug, k_aug, v, lengths, scale,
+                                     interpret)

@@ -57,3 +57,32 @@ def test_rel_pos_flash_matches_module():
     # the reference softmaxes uniform garbage there, flash outputs ~0).
     np.testing.assert_allclose(g[0], w[0], rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(g[1, :30], w[1, :30], rtol=2e-3, atol=2e-3)
+
+
+def test_flash_trainable_grads_match_xla():
+    """custom_vjp backward (XLA recompute) == grads of the pure XLA ref."""
+    from avec_tpu.ops.pallas_attention import (
+        _xla_attention_reference,
+        flash_attention_trainable,
+    )
+
+    rng = np.random.RandomState(3)
+    b, h, t, d = 1, 2, 32, 16
+    q = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
+    lengths = jnp.array([24])
+
+    def loss_flash(q, k, v):
+        return (flash_attention_trainable(q, k, v, lengths, 0.25, True)
+                .astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (_xla_attention_reference(q, k, v, lengths, 0.25)
+                .astype(jnp.float32) ** 2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-4)
