@@ -130,6 +130,22 @@ class MultiHeadAttention(nn.Module):
         return self._proj_out(_merge_heads(o))
 
 
+class NdMultiHeadAttention(MultiHeadAttention):
+    """Flatten N-d spatial dims before attention (ref: nnet/attentions.py:173-213).
+
+    (B, d1, ..., dn, C) -> flatten -> (B, N, C) -> MHA -> reshape back.
+    Q/K/V must share spatial shape (self-attention over the flattened grid).
+    """
+
+    def forward_qkv(self, q, k, v, mask=None, deterministic: bool = True):
+        shape = q.shape
+        q = q.reshape(q.shape[0], -1, q.shape[-1])
+        k = k.reshape(k.shape[0], -1, k.shape[-1])
+        v = v.reshape(v.shape[0], -1, v.shape[-1])
+        o = super().forward_qkv(q, k, v, mask, deterministic)
+        return o.reshape(shape[:-1] + (o.shape[-1],))
+
+
 class RelPos1dMultiHeadAttention(MultiHeadAttention):
     """Relative-position MHA (ref: nnet/attentions.py:215-323).
 
@@ -403,6 +419,7 @@ class GroupedRelPosMultiHeadSelfAttention(RelPosMultiHeadSelfAttention):
 
 att_dict = {
     "MultiHeadAttention": MultiHeadAttention,
+    "NdMultiHeadAttention": NdMultiHeadAttention,
     "RelPos1dMultiHeadAttention": RelPos1dMultiHeadAttention,
     "RelPosPatch1dMultiHeadAttention": RelPosPatch1dMultiHeadAttention,
     "RelPosMultiHeadSelfAttention": RelPosMultiHeadSelfAttention,

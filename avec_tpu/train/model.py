@@ -381,14 +381,17 @@ class Model:
                 met_sum = jax.tree.map(jnp.add, met_sum, metrics)
                 return (new_bs, grad_sum, loss_sum, met_sum), None
 
-            # Probe structures with a zero-cost eval shape.
+            # Probe loss/metric pytree structure abstractly (jax.eval_shape
+            # traces without emitting compute — no forward pass is paid).
             micro0 = jax.tree.map(lambda x: x[0], batch)
             zero_grads = jax.tree.map(jnp.zeros_like, params)
-            _, (loss_proto, met_proto, _) = loss_fn(
-                params, state["batch_stats"], micro0,
+            _, (loss_proto, met_proto, _) = jax.eval_shape(
+                loss_fn, params, state["batch_stats"], micro0,
                 {"dropout": rng, "augment": rng}, step)
-            loss0 = jax.tree.map(jnp.zeros_like, loss_proto)
-            met0 = jax.tree.map(jnp.zeros_like, met_proto)
+            loss0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                 loss_proto)
+            met0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                met_proto)
 
             idxs = jnp.arange(accumulated_steps)
             (new_bs, grad_sum, loss_sum, met_sum), _ = lax.scan(
@@ -419,8 +422,11 @@ class Model:
                 new_state["ema_params"] = jax.tree.map(
                     lambda e, p: ema_tau * e + (1.0 - ema_tau) * p,
                     state["ema_params"], new_params)
-                new_state["ema_batch_stats"] = jax.tree.map(
-                    lambda x: x, new_bs)
+                # Reference semantics: buffers are COPIED into the EMA model
+                # each step, not averaged (nnet/model.py:406-407:
+                # buffer_target.copy_(buffer_net)). So ema_batch_stats tracks
+                # the live batch_stats exactly.
+                new_state["ema_batch_stats"] = new_bs
 
             infos = {"lr": opt.learning_rate(step), "grad_norm": gnorm}
             return new_state, (losses, metrics, infos)
@@ -466,6 +472,9 @@ class Model:
         if detect_anomaly:
             jax.config.update("jax_debug_nans", True)
 
+        # Per-rank logging opt-in (ref: nnet/model.py:596-603 — every rank
+        # writes, tags suffixed "-{rank}").
+        self._dist_log = bool(dist_log)
         writer = self._make_writer(callback_path)
         train_step = None
 
@@ -876,7 +885,8 @@ class Model:
 
     # -------------------------------------------------------------- logging
     def _make_writer(self, callback_path):
-        if not callback_path or self.rank != 0:
+        dist_log = getattr(self, "_dist_log", False)
+        if not callback_path or (self.rank != 0 and not dist_log):
             return None
         os.makedirs(os.path.join(callback_path, "logs"), exist_ok=True)
         try:
@@ -886,10 +896,13 @@ class Model:
         except Exception:
             from avec_tpu.utils.logging import JsonlWriter
 
-            return JsonlWriter(os.path.join(callback_path, "logs",
-                                            "events.jsonl"))
+            name = (f"events_rank{self.rank}.jsonl" if dist_log
+                    else "events.jsonl")
+            return JsonlWriter(os.path.join(callback_path, "logs", name))
 
     def _log(self, writer, tag, step, losses, metrics, infos):
+        if getattr(self, "_dist_log", False):
+            tag = f"{tag}-{self.rank}"
         for k, v in {**losses, **metrics}.items():
             try:
                 writer.add_scalar(f"{tag}/{k}", float(v), step)

@@ -27,6 +27,12 @@ import sys
 
 import jax
 
+# Honor JAX_PLATFORMS before any device query: in this environment the TPU
+# plugin pins the platform at import time and the env var alone is silently
+# ignored (see tests/conftest.py for the same override).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def main(args):
     from avec_tpu.cli import functions

@@ -121,3 +121,33 @@ def test_causal_attention_is_causal():
     out2 = mha.apply(variables, x2, mask)
     np.testing.assert_allclose(np.asarray(out[0, :4]), np.asarray(out2[0, :4]),
                                atol=1e-5)
+
+
+def test_nd_attention_flattens_and_restores_shape():
+    """NdMultiHeadAttention (ref nnet/attentions.py:173-213): (B,...,C) is
+    flattened to (B,N,C) for attention then reshaped back; it must equal
+    plain MHA on the pre-flattened input with shared params."""
+    from avec_tpu.ops.attention import NdMultiHeadAttention
+
+    b, h, w, c = 2, 3, 4, 8
+    x = jnp.asarray(np.random.RandomState(0).randn(b, h, w, c), jnp.float32)
+    att = NdMultiHeadAttention(dim_model=c, num_heads=2)
+    params = att.init(jax.random.PRNGKey(0), x)
+    out = att.apply(params, x)
+    assert out.shape == (b, h, w, c)
+
+    flat = MultiHeadAttention(dim_model=c, num_heads=2)
+    out_flat = flat.apply(params, x.reshape(b, h * w, c))
+    np.testing.assert_allclose(np.asarray(out).reshape(b, h * w, c),
+                               np.asarray(out_flat), atol=1e-6)
+
+
+def test_nd_attention_in_registry():
+    from avec_tpu.ops.attention import att_dict, make_attention
+
+    assert "NdMultiHeadAttention" in att_dict
+    mod = make_attention(8, {"class": "NdMultiHeadAttention",
+                             "params": {"num_heads": 2}})
+    x = jnp.ones((1, 2, 3, 8), jnp.float32)
+    out = mod.apply(mod.init(jax.random.PRNGKey(0), x), x)
+    assert out.shape == (1, 2, 3, 8)
