@@ -748,7 +748,17 @@ class Model:
 
     def load(self, path: str, load_optimizer: bool = True, verbose: bool = True,
              strict: bool = True):
-        """ref: nnet/model.py:515-544."""
+        """ref: nnet/model.py:515-544.
+
+        Accepts both our msgpack checkpoints and the released PyTorch
+        reference .ckpt pickles — the latter are converted on the fly
+        (train/torch_convert.py; logits parity <=3e-6 tested for all five
+        released model architectures)."""
+        from avec_tpu.train import torch_convert as tc
+
+        if tc.is_torch_checkpoint(path):
+            self._load_torch(path, strict=strict, verbose=verbose)
+            return
         payload = ckpt.load_checkpoint(path)
         template = {"params": self.params, "batch_stats": self.batch_stats}
         restored = ckpt.restore_tree(template, payload["model_state_dict"],
@@ -769,6 +779,37 @@ class Model:
             self.ema_batch_stats = pmesh.replicate(self.mesh, ema["batch_stats"])
         if self.rank == 0 and verbose:
             print(f"Rank {self.rank}: Model loaded at step {self.model_step}")
+
+    def _load_torch(self, path: str, strict: bool = True, verbose: bool = True):
+        """Load a reference torch .ckpt via the name/layout converter."""
+        from avec_tpu.train import torch_convert as tc
+        from flax import serialization
+
+        template_tree = {"params": self.params}
+        if self.batch_stats:
+            template_tree["batch_stats"] = self.batch_stats
+        template = ckpt.state_dict_flatten(template_tree)
+        model_flat, ema_flat, step, report = tc.convert_checkpoint(
+            path, template, strict=strict)
+        restored = serialization.from_state_dict(
+            template_tree, ckpt.state_dict_unflatten(model_flat))
+        self.params = pmesh.replicate(self.mesh, restored["params"])
+        if self.batch_stats:
+            self.batch_stats = pmesh.replicate(self.mesh,
+                                               restored["batch_stats"])
+        self.model_step = step
+        if ema_flat is not None and self.ema_params is not None:
+            ema = serialization.from_state_dict(
+                template_tree, ckpt.state_dict_unflatten(ema_flat))
+            self.ema_params = pmesh.replicate(self.mesh, ema["params"])
+            if self.batch_stats:
+                self.ema_batch_stats = pmesh.replicate(self.mesh,
+                                                       ema["batch_stats"])
+        if self.rank == 0 and verbose:
+            print(f"Rank {self.rank}: converted torch checkpoint loaded at "
+                  f"step {self.model_step} "
+                  f"({len(model_flat)} tensors, "
+                  f"{len(report['dropped'])} torch-only keys dropped)")
 
     # ------------------------------------------------------------------ swa
     def swa(self, dataset, callback_path, start_epoch=None, end_epoch=None,
