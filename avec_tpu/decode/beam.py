@@ -132,6 +132,8 @@ class CTCBeamSearchDecoder:
                  ngram_path: Optional[str] = None, ngram_tmp: float = 1.0,
                  ngram_alpha: float = 0.6, ngram_beta: float = 1.0,
                  ngram_offset: int = 100,
+                 neural_config_path: Optional[str] = None,
+                 neural_checkpoint: Optional[str] = None,
                  neural_rescorer=None, neural_tokenizer_path: Optional[str] = None,
                  neural_alpha: float = 0.6, neural_beta: float = 1.0,
                  neural_pad_token: int = 0, neural_sos_token: Optional[int] = None,
@@ -154,6 +156,8 @@ class CTCBeamSearchDecoder:
         self.neural_pad_token = neural_pad_token
         self.neural_sos_token = neural_sos_token
         self.neural_eos_token = neural_eos_token
+        if neural_config_path is not None:
+            self._build_neural_rescorer(neural_config_path, neural_checkpoint)
         self._native = None
         if use_native:
             try:
@@ -165,6 +169,48 @@ class CTCBeamSearchDecoder:
                     ngram_offset=ngram_offset)
             except Exception:
                 self._native = None
+
+    def _build_neural_rescorer(self, neural_config_path: str,
+                               neural_checkpoint: str):
+        """Construct the GPT rescorer from an LM config module.
+
+        ref: nnet/decoders.py:153-162 — import the config (its side effects
+        build + compile the LM), load the checkpoint from the config's
+        callback_path, take the config's tokenizer and special ids. The
+        forward is jitted with the padded length bucketed to multiples of 32
+        so repeated rescoring calls hit the compile cache.
+        """
+        import os
+
+        config = _import_config_module(neural_config_path)
+        model = config.model
+        if not getattr(model, "built", False):
+            import numpy as _np
+
+            dummy = _np.zeros((1, 32), _np.int32)
+            model.build([dummy], precision=getattr(config, "precision", None))
+        ckpt_path = os.path.join(config.callback_path, neural_checkpoint)
+        model.load(ckpt_path, load_optimizer=False)
+
+        import jax
+
+        fwd = jax.jit(lambda params, ids: model.apply_net(
+            params, model.batch_stats, [ids], False, None)[0])
+
+        def rescore(padded_ids: np.ndarray) -> np.ndarray:
+            b, t = padded_ids.shape
+            t_pad = -(-t // 32) * 32
+            full = np.full((b, t_pad), self.neural_pad_token, np.int32)
+            full[:, :t] = padded_ids
+            out = fwd(model.params, full)
+            logits = out["output"] if isinstance(out, dict) else out
+            return np.asarray(logits, np.float32)[:, :t]
+
+        self.neural_rescorer = rescore
+        self.neural_tokenizer = load_tokenizer(config.tokenizer_path)
+        self.neural_pad_token = config.pad_token
+        self.neural_sos_token = config.sos_token
+        self.neural_eos_token = config.eos_token
 
     def _token_to_word(self, idx: int) -> str:
         return chr(idx + self.ngram_offset)  # ref decoders.py:187
@@ -263,6 +309,26 @@ class CTCBeamSearchDecoder:
             scores[i, k] = nll
             lengths[i, k] = self.neural_beta * (len(s) - 1)
         return scores, lengths
+
+
+def _import_config_module(path: str):
+    """Import a config by file path or dotted module name
+    (ref: nnet/decoders.py:156 importlib.import_module)."""
+    import importlib
+    import importlib.util
+    import os
+    import sys
+
+    if os.path.isfile(path):
+        name = "avec_tpu_neural_config_" + os.path.basename(path).replace(
+            ".py", "").replace("-", "_")
+        spec = importlib.util.spec_from_file_location(name, path)
+        module = importlib.util.module_from_spec(spec)
+        sys.modules[name] = module
+        spec.loader.exec_module(module)
+        return module
+    return importlib.import_module(
+        path.replace(".py", "").replace("/", "."))
 
 
 def _logsumexp_np(x, axis=-1):

@@ -29,6 +29,8 @@ from avec_tpu.ops.masks import make_mask
 from avec_tpu.ops.pos_embeddings import PosEmbedding1d, SinPosEmbedding
 
 GPT_CONFIGS = {
+    # GPT-Tiny is an addition for fast tests/demos (not in the reference).
+    "GPT-Tiny": dict(dim_model=64, num_blocks=2, num_heads=2),
     "GPT-Small": dict(dim_model=768, num_blocks=12, num_heads=12),
     "GPT-Medium": dict(dim_model=1024, num_blocks=24, num_heads=16),
     "GPT-Large": dict(dim_model=1536, num_blocks=24, num_heads=16),
@@ -41,6 +43,7 @@ GPT_CONFIGS = {
 
 # Per-size LR table (ref: models_zoo.py:284-307).
 GPT_LR = {
+    "GPT-Tiny": (6e-4, 6e-5),
     "GPT-Small": (6e-4, 6e-5),
     "GPT-Medium": (3e-4, 3e-5),
     "GPT-Large": (2.5e-4, 2.5e-5),

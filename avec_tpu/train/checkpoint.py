@@ -109,7 +109,23 @@ def restore_tree(template: Any, flat: Dict[str, np.ndarray], strict: bool = True
     if strict and extra:
         raise KeyError(f"unexpected keys in checkpoint: {sorted(extra)[:10]}")
     rebuilt = state_dict_unflatten(merged)
+    # flatten_dict drops empty subtrees (e.g. batch_stats == {} for BN-free
+    # models like GPT); re-add them so the structure matches the template.
+    rebuilt = _merge_missing_empty(serialization.to_state_dict(template),
+                                   rebuilt)
     return serialization.from_state_dict(template, rebuilt)
+
+
+def _merge_missing_empty(tmpl_sd: Any, rebuilt: Any) -> Any:
+    """Recursively re-add dict keys present in the template state dict but
+    absent from the rebuilt one (only leafless subtrees can be missing)."""
+    if not isinstance(tmpl_sd, dict):
+        return rebuilt
+    out = dict(rebuilt) if isinstance(rebuilt, dict) else {}
+    for k, v in tmpl_sd.items():
+        if isinstance(v, dict):
+            out[k] = _merge_missing_empty(v, out.get(k, {}))
+    return out
 
 
 def find_last_checkpoint(callback_path: str,

@@ -25,8 +25,12 @@ ngram_offset = 100
 ngram_alpha = 0.6
 ngram_beta = 1.0
 ngram_tmp = 1.0
+neural_config_path = "configs/LRS23/LM/GPT-Small.py"
+neural_checkpoint = "checkpoints_epoch_10_step_2860.ckpt"
 neural_alpha = 0.6
 neural_beta = 1.0
+_has_lm = os.path.isfile(os.path.join("callbacks/LRS23/LM/GPT-Small",
+                                      neural_checkpoint))
 
 # Training
 batch_size = 16
@@ -54,7 +58,9 @@ if _has_tok and beamsearch:
         tokenizer_path=tokenizer_path, beam_size=beam_size,
         ngram_path=ngram_path if os.path.isfile(ngram_path) else None,
         ngram_tmp=ngram_tmp, ngram_alpha=ngram_alpha, ngram_beta=ngram_beta,
-        ngram_offset=ngram_offset, neural_alpha=neural_alpha,
+        ngram_offset=ngram_offset,
+        neural_config_path=neural_config_path if _has_lm else None,
+        neural_checkpoint=neural_checkpoint, neural_alpha=neural_alpha,
         neural_beta=neural_beta, test_time_aug=test_time_aug)
 elif _has_tok:
     decoder = nnet.CTCGreedySearchDecoder(tokenizer_path=tokenizer_path)
