@@ -115,20 +115,46 @@ def sync_global_devices(name: str = "barrier"):
 
 
 def process_allgather(obj):
-    """Gather host objects from every process (replaces all_gather_object,
-    nnet/model.py:645-666). Single-process: identity list."""
+    """Gather arbitrary host objects from every process (replaces
+    all_gather_object, nnet/model.py:645-666). Single-process: identity list.
+
+    multihost_utils.process_allgather moves ARRAYS; arbitrary objects
+    (decoded-string lists for exact-WER recompute) are pickled into padded
+    uint8 buffers: gather sizes first, pad to the global max, gather, strip.
+    """
     if jax.process_count() == 1:
         return [obj]
+    import pickle
+
     from jax.experimental import multihost_utils
 
-    return list(multihost_utils.process_allgather(obj))
+    data = np.frombuffer(pickle.dumps(obj), np.uint8)
+    sizes = np.asarray(multihost_utils.process_allgather(
+        np.array([data.size], np.int32))).reshape(-1)
+    padded = np.zeros((int(sizes.max()),), np.uint8)
+    padded[: data.size] = data
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    return [pickle.loads(gathered[i, : int(sizes[i])].tobytes())
+            for i in range(jax.process_count())]
 
 
 def broadcast_host_object(obj, root: int = 0):
-    """Broadcast a host object from root (replaces broadcast_object_list,
-    nnet/datasets.py:202-217)."""
+    """Broadcast an arbitrary host object from root (replaces
+    broadcast_object_list, nnet/datasets.py:202-217)."""
     if jax.process_count() == 1:
         return obj
+    import pickle
+
     from jax.experimental import multihost_utils
 
-    return multihost_utils.broadcast_one_to_all(obj, is_source=jax.process_index() == root)
+    is_src = jax.process_index() == root
+    data = (np.frombuffer(pickle.dumps(obj), np.uint8) if is_src
+            else np.zeros((0,), np.uint8))
+    size = multihost_utils.broadcast_one_to_all(
+        np.array([data.size], np.int32), is_source=is_src)
+    buf = np.zeros((int(size[0]),), np.uint8)
+    if is_src:
+        buf[:] = data
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf,
+                                                          is_source=is_src))
+    return pickle.loads(out.tobytes())

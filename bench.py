@@ -29,8 +29,15 @@ BATCH = int(os.environ.get("BENCH_BATCH", 8))
 AUDIO_SECONDS = int(os.environ.get("BENCH_AUDIO_SECONDS", 6))
 AUDIO_LEN = AUDIO_SECONDS * 16000
 LABEL_LEN = 32
-WARMUP = 2
-STEPS = 10
+WARMUP = int(os.environ.get("BENCH_WARMUP", 3))
+STEPS = int(os.environ.get("BENCH_STEPS", 10))
+# Median of several timing windows: the TPU tunnel adds jitter that a single
+# 10-step window under/over-states by 15-20%.
+WINDOWS = int(os.environ.get("BENCH_WINDOWS", 5))
+PROFILE_DIR = os.environ.get("BENCH_PROFILE", "")
+# TPU v5e (v5litepod) peak: 197 TFLOP/s bf16 per chip.
+PEAK_FLOPS = {"TPU v5 lite": 197e12, "TPU v5": 459e12, "TPU v4": 275e12,
+              "TPU v6 lite": 918e12}
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
 
@@ -71,11 +78,32 @@ def bench_jax():
         state, (losses, _, _) = train_step(state, gbatch, rng)
     jax.block_until_ready(state["params"])
 
-    t0 = time.time()
-    for i in range(STEPS):
-        state, (losses, _, _) = train_step(state, gbatch, rng)
-    jax.block_until_ready(state["params"])
-    dt = time.time() - t0
+    # Per-step model FLOPs from the compiled executable (XLA cost analysis).
+    step_flops = None
+    try:
+        cost = train_step.lower(state, gbatch, rng).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        step_flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    if PROFILE_DIR:
+        with jax.profiler.trace(PROFILE_DIR):
+            for i in range(3):
+                state, (losses, _, _) = train_step(state, gbatch, rng)
+            jax.block_until_ready(state["params"])
+        print(f"profile trace written to {PROFILE_DIR}", file=sys.stderr)
+
+    rates = []
+    for _ in range(WINDOWS):
+        t0 = time.perf_counter()
+        for i in range(STEPS):
+            state, (losses, _, _) = train_step(state, gbatch, rng)
+        jax.block_until_ready(state["params"])
+        rates.append(BATCH * STEPS / (time.perf_counter() - t0))
+    rates.sort()
+    utt_per_sec_total = rates[len(rates) // 2]  # median window
 
     # Eval (forward-only) throughput -> real-time factor.
     fwd = jax.jit(lambda p, bs, inputs: model.apply_net(p, bs, inputs,
@@ -83,16 +111,25 @@ def bench_jax():
     ebatch = pmesh.host_local_batch_to_global(model.mesh, batch)
     out = fwd(state["params"], state["batch_stats"], ebatch["inputs"])
     jax.block_until_ready(out)
-    t1 = time.time()
-    for _ in range(STEPS):
-        out = fwd(state["params"], state["batch_stats"], ebatch["inputs"])
-    jax.block_until_ready(out)
-    dte = time.time() - t1
+    erates = []
+    for _ in range(WINDOWS):
+        t1 = time.perf_counter()
+        for _ in range(STEPS):
+            out = fwd(state["params"], state["batch_stats"], ebatch["inputs"])
+        jax.block_until_ready(out)
+        erates.append(BATCH * STEPS / (time.perf_counter() - t1))
+    erates.sort()
 
     n_chips = len(jax.devices())
-    utt_per_sec = BATCH * STEPS / dt
-    eval_rtfx = BATCH * STEPS * AUDIO_SECONDS / dte / n_chips
-    return utt_per_sec / n_chips, eval_rtfx, float(losses["loss"])
+    utt_per_sec = utt_per_sec_total / n_chips
+    eval_rtfx = erates[len(erates) // 2] * AUDIO_SECONDS / n_chips
+
+    mfu = None
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in PEAK_FLOPS.items() if kind.startswith(k)), None)
+    if step_flops and peak:
+        mfu = step_flops * (utt_per_sec_total / BATCH) / (n_chips * peak)
+    return utt_per_sec, eval_rtfx, float(losses["loss"]), mfu, step_flops
 
 
 def bench_torch_cpu_baseline():
@@ -234,7 +271,7 @@ def main():
     except Exception as e:
         print(f"baseline measurement failed: {e}", file=sys.stderr)
 
-    utt_per_sec, eval_rtfx, loss = bench_jax()
+    utt_per_sec, eval_rtfx, loss, mfu, step_flops = bench_jax()
     result = {
         "metric": "train_utterances_per_sec_per_chip",
         "value": round(utt_per_sec, 3),
@@ -242,6 +279,9 @@ def main():
         "vs_baseline": (round(utt_per_sec / baseline, 2)
                         if baseline else None),
         "eval_rtfx_per_chip": round(eval_rtfx, 1),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "step_tflops": (round(step_flops / 1e12, 3)
+                        if step_flops is not None else None),
         "batch": BATCH,
         "audio_seconds": AUDIO_SECONDS,
     }
