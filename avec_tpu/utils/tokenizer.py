@@ -174,10 +174,21 @@ class _SentencePieceAdapter:
 
 def train_tokenizer(corpus_path: str, tokenizer_path: str, vocab_size: int = 256,
                     vocab_type: str = "bpe"):
-    """Train + save a tokenizer (ref: functions.py:193-194)."""
+    """Train + save a tokenizer (ref: functions.py:193-194).
+
+    Saves .json (our format) by default; a path ending in .model writes a
+    real SentencePiece ModelProto (utils/spm_model.py) readable by the
+    reference's sentencepiece stack.
+    """
     assert vocab_type == "bpe"
     with open(corpus_path) as f:
         pieces = train_bpe(f, vocab_size)
+    if tokenizer_path.endswith(".model"):
+        from avec_tpu.utils.spm_model import bpe_model_from_pieces
+
+        model = bpe_model_from_pieces(pieces)
+        model.save(tokenizer_path)
+        return model
     tok = Tokenizer(pieces)
     if not tokenizer_path.endswith(".json"):
         tokenizer_path = tokenizer_path + ".json"
@@ -186,13 +197,23 @@ def train_tokenizer(corpus_path: str, tokenizer_path: str, vocab_size: int = 256
 
 
 def load_tokenizer(path: str):
-    """Load a tokenizer: .json (ours) or .model (sentencepiece, if available)."""
+    """Load a tokenizer: .json (ours) or .model (sentencepiece ModelProto).
+
+    .model files are parsed natively (utils/spm_model.py) so the released
+    tokenizerbpe256/1024.model artifacts work without the sentencepiece
+    wheel; the wheel, when installed, is preferred for bit parity.
+    """
     if path.endswith(".model"):
         try:
             return _SentencePieceAdapter(path)
         except ImportError:
-            json_path = path.replace(".model", ".json")
-            if os.path.exists(json_path):
-                return Tokenizer.from_file(json_path)
-            raise
+            pass
+        if os.path.exists(path):
+            from avec_tpu.utils.spm_model import SentencePieceModel
+
+            return SentencePieceModel.from_file(path)
+        json_path = path.replace(".model", ".json")
+        if os.path.exists(json_path):
+            return Tokenizer.from_file(json_path)
+        raise FileNotFoundError(path)
     return Tokenizer.from_file(path)
