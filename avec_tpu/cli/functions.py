@@ -76,6 +76,11 @@ def _make_loader(dataset, args, drop_last):
         rank=jax.process_index(),
         accum=accum,
         num_workers=args.num_workers,
+        # Length-bucketed batches for training when the dataset knows its
+        # sample lengths (smaller pads, fewer XLA shapes); eval keeps the
+        # natural order for reproducible per-batch metrics.
+        bucket_by_length=drop_last and getattr(args.config,
+                                               "bucket_by_length", True),
     )
 
 

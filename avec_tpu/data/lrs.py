@@ -140,7 +140,8 @@ class LRS(Dataset):
         if jax.process_count() > 1:
             if jax.process_index() == 0:
                 self.filter()
-            self.paths = pmesh.broadcast_host_object(self.paths, root=0)
+            self.paths, self._lengths = pmesh.broadcast_host_object(
+                (self.paths, getattr(self, "_lengths", None)), root=0)
         else:
             self.filter()
 
@@ -180,8 +181,17 @@ class LRS(Dataset):
         # Curriculum option: sort by duration (ref datasets.py:318-320;
         # works here also on cache hits).
         if self.ascending and lengths is not None:
-            paths = [p for _, p in sorted(zip(lengths, paths))]
+            order = sorted(range(len(paths)), key=lambda i: lengths[i])
+            paths = [paths[i] for i in order]
+            lengths = [lengths[i] for i in order]
         self.paths = paths
+        self._lengths = lengths
+
+    def sample_lengths(self):
+        """Per-sample audio lengths (from the filter cache) for the loader's
+        length-bucketed batching; None when the filter never ran."""
+        lengths = getattr(self, "_lengths", None)
+        return lengths if lengths and len(lengths) == len(self.paths) else None
 
     def __len__(self):
         return len(self.paths)

@@ -188,3 +188,89 @@ def test_multi_dataset_concat():
     np.testing.assert_array_equal(m[0][0], a[0][0])
     np.testing.assert_array_equal(m[3][0], b[0][0])
     np.testing.assert_array_equal(m[7][0], b[4][0])
+
+
+def test_loader_workers_match_serial():
+    """num_workers>0 yields identical batches in identical order."""
+    from avec_tpu.data.loader import DataLoader
+
+    class Ds:
+        shuffle = True
+        collate_fn = None
+        batch_size = None
+
+        def __len__(self):
+            return 23
+
+        def __getitem__(self, n):
+            return np.full((3,), n, np.int32)
+
+    kw = dict(batch_size=4, collate_fn=lambda s: np.stack(s), seed=7)
+    serial = list(DataLoader(Ds(), num_workers=0, **kw))
+    threaded = list(DataLoader(Ds(), num_workers=4, **kw))
+    assert len(serial) == len(threaded)
+    for a, b in zip(serial, threaded):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_loader_length_bucketing():
+    """Bucketed batches group similar lengths; all samples appear once."""
+    from avec_tpu.data.loader import DataLoader
+
+    rng = np.random.RandomState(0)
+    lengths = rng.randint(10, 1000, size=64).tolist()
+
+    class Ds:
+        shuffle = True
+        collate_fn = None
+        batch_size = None
+
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, n):
+            return n
+
+        def sample_lengths(self):
+            return lengths
+
+    dl = DataLoader(Ds(), batch_size=8, collate_fn=lambda s: list(s),
+                    drop_last=True, seed=1, bucket_by_length=True,
+                    bucket_pool_batches=4)
+    batches = list(dl)
+    seen = sorted(i for b in batches for i in b)
+    assert seen == list(range(64))
+    # Within each pool of 4 batches, batches must be length-sorted chunks:
+    # the max length spread inside a batch is bounded by the pool's spread,
+    # and on average far smaller than the global spread.
+    spreads = [max(lengths[i] for i in b) - min(lengths[i] for i in b)
+               for b in batches]
+    global_spread = max(lengths) - min(lengths)
+    assert np.mean(spreads) < global_spread / 2, (spreads, global_spread)
+
+
+def test_loader_bucketing_keeps_epoch_reshuffle():
+    from avec_tpu.data.loader import DataLoader
+
+    class Ds:
+        shuffle = True
+        collate_fn = None
+        batch_size = None
+
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, n):
+            return n
+
+        def sample_lengths(self):
+            return list(range(32))
+
+    dl = DataLoader(Ds(), batch_size=4, collate_fn=lambda s: list(s),
+                    bucket_by_length=True, bucket_pool_batches=2)
+    dl.set_epoch(0)
+    e0 = [tuple(b) for b in dl]
+    dl.set_epoch(1)
+    e1 = [tuple(b) for b in dl]
+    assert sorted(i for b in e0 for i in b) == list(range(32))
+    assert e0 != e1  # epoch reshuffle changes batch composition/order
