@@ -37,14 +37,48 @@ from avec_tpu.data.dataset import Dataset
 from avec_tpu.parallel import mesh as pmesh
 from avec_tpu.utils import media
 
-LRS2_URLS = [
-    "https://thor.robots.ox.ac.uk/~vgg/data/lip_reading/data2/lrs2_v1_parta{}".format(c)
-    for c in "abcde"
-]
-LRS3_URLS = [
-    "https://thor.robots.ox.ac.uk/~vgg/data/lip_reading/data3/lrs3_v0.4_parta{}".format(c)
-    for c in "abcdefg"
-]
+# Published download endpoints (ref: datasets.py:368-498). Access requires
+# the BBC/TED data agreement credentials in {VERSION}_USERNAME/_PASSWORD.
+_LRS_BASE = "https://thor.robots.ox.ac.uk/~vgg/data/lip_reading"
+LRS2_URLS = [f"{_LRS_BASE}/data2/lrs2_v1_parta{c}" for c in "abcde"]
+LRS2_FILELISTS = [f"{_LRS_BASE}/data2/{n}.txt"
+                  for n in ("pretrain", "train", "val", "test")]
+LRS3_URLS = [f"{_LRS_BASE}/data3/lrs3_pretrain_parta{c}" for c in "abcdefg"]
+LRS3_ZIPS = [f"{_LRS_BASE}/data3/lrs3_trainval.zip",
+             f"{_LRS_BASE}/data3/lrs3_test_v0.4.zip"]
+# Landmark archives from mpc001/Visual_Speech_Recognition_for_Multiple_
+# Languages (public gdrive ids, ref datasets.py:417,479).
+LANDMARK_GDRIVE = {"LRS2": "1G2-rEUNeGotJ9EtTIj0UzqbvCSbn6CJy",
+                   "LRS3": "1QRdOgeHvmKK8t4hsceFVf_BSpidQfUyW"}
+
+
+def _concat_files(parts: List[str], out_path: str):
+    """cat part files into one archive (ref datasets.py:391,455)."""
+    if os.path.isfile(out_path) and os.path.getsize(out_path) > 0:
+        return
+    tmp = out_path + ".part"
+    with open(tmp, "wb") as out:
+        for p in parts:
+            with open(p, "rb") as f:
+                while True:
+                    chunk = f.read(1 << 22)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+    os.replace(tmp, out_path)
+
+
+def _extract_archive(path: str, dest: str):
+    """tar/zip extraction (torchvision extract_archive stand-in)."""
+    import tarfile
+    import zipfile
+
+    if zipfile.is_zipfile(path):
+        with zipfile.ZipFile(path) as z:
+            z.extractall(dest)
+    else:
+        with tarfile.open(path) as t:
+            t.extractall(dest)
 
 
 def _load_infos(base_path: str) -> dict:
@@ -254,13 +288,82 @@ class LRS(Dataset):
 
     # ------------------------------------------------------------ download
     def download(self):
-        """Dataset download requires signing the BBC/TED data agreement; the
-        reference fetches parts from thor.robots.ox.ac.uk with credentials
-        (datasets.py:368-498). We surface the same URLs."""
-        urls = LRS2_URLS if self.version == "LRS2" else LRS3_URLS
-        raise RuntimeError(
-            f"{self.version} must be downloaded manually (license-gated): "
-            + ", ".join(urls))
+        """Credentialed dataset download + extraction
+        (ref: datasets.py:368-506).
+
+        Reads {VERSION}_USERNAME / {VERSION}_PASSWORD from the environment
+        (the BBC/TED data agreement credentials), fetches the published
+        archive parts, concatenates and extracts them, fetches the file
+        lists, and pulls the public landmark archives.
+        """
+        user = os.getenv(f"{self.version}_USERNAME")
+        password = os.getenv(f"{self.version}_PASSWORD")
+        if not user or not password:
+            urls = LRS2_URLS if self.version == "LRS2" else LRS3_URLS
+            raise RuntimeError(
+                f"{self.version} download is license-gated: set "
+                f"{self.version}_USERNAME / {self.version}_PASSWORD (BBC/TED "
+                f"data agreement) in the environment. Sources: "
+                + ", ".join(urls))
+        dest = os.path.join(self.root, self.version)
+        os.makedirs(dest, exist_ok=True)
+        print("Download Dataset")
+        if self.version == "LRS2":
+            parts = [self._download_file(u, dest, user, password)
+                     for u in LRS2_URLS]
+            tar = os.path.join(dest, "lrs2_v1.tar")
+            _concat_files(parts, tar)
+            _extract_archive(tar, dest)
+            for u in LRS2_FILELISTS:
+                self._download_file(u, dest, user, password)
+        else:
+            parts = [self._download_file(u, dest, user, password)
+                     for u in LRS3_URLS]
+            zpath = os.path.join(dest, "lrs3_pretrain.zip")
+            _concat_files(parts, zpath)
+            _extract_archive(zpath, dest)
+            for u in LRS3_ZIPS:
+                z = self._download_file(u, dest, user, password)
+                _extract_archive(z, dest)
+        self._download_landmarks(dest)
+
+    def _download_file(self, url: str, dest_dir: str, user: str,
+                       password: str) -> str:
+        """Streamed basic-auth download (ref datasets.py:500-506)."""
+        import base64
+        import urllib.request
+
+        path = os.path.join(dest_dir, url.rsplit("/", 1)[-1])
+        if os.path.isfile(path) and os.path.getsize(path) > 0:
+            return path
+        req = urllib.request.Request(url)
+        token = base64.b64encode(f"{user}:{password}".encode()).decode()
+        req.add_header("Authorization", f"Basic {token}")
+        tmp = path + ".part"
+        with urllib.request.urlopen(req) as r, open(tmp, "wb") as f:
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+        os.replace(tmp, path)
+        return path
+
+    def _download_landmarks(self, dest: str):
+        zpath = os.path.join(dest, f"{self.version}_landmarks.zip")
+        if not os.path.isfile(zpath):
+            gid = LANDMARK_GDRIVE[self.version]
+            try:
+                import gdown
+
+                gdown.download("https://drive.google.com/uc?id=" + gid,
+                               zpath, quiet=False)
+            except ImportError:
+                print(f"gdown unavailable: fetch the landmark archive "
+                      f"manually from https://drive.google.com/uc?id={gid} "
+                      f"into {zpath}")
+                return
+        _extract_archive(zpath, dest)
 
     # ------------------------------------------------------------- prepare
     def prepare(self, workers=-1):
