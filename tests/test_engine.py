@@ -205,3 +205,11 @@ def test_ema_updates():
     d = jax.tree.leaves(jax.tree.map(
         lambda a, b: float(jnp.abs(a - b).max()), model.params, model.ema_params))
     assert max(d) > 0
+    # Reference buffer semantics (nnet/model.py:406-407): BN buffers are
+    # COPIED into the EMA model each step, not exponentially averaged.
+    # ema_batch_stats must therefore equal the live batch_stats exactly.
+    bd = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        model.batch_stats, model.ema_batch_stats))
+    assert bd, "test model must have BN batch_stats"
+    assert max(bd) == 0.0
