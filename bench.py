@@ -57,6 +57,17 @@ def make_batch(batch_size):
 def bench_jax():
     import jax
 
+    # Persistent compile cache: the AV train step is a large graph (~15-25 min
+    # cold over the TPU tunnel); repeat bench runs must hit the cache.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/tmp/avec_tpu_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
     from avec_tpu.models.zoo import AudioVisualEfficientConformerInterCTC
     from avec_tpu.parallel import mesh as pmesh
     from avec_tpu.train.losses import CTCLoss
