@@ -30,10 +30,10 @@ AUDIO_SECONDS = int(os.environ.get("BENCH_AUDIO_SECONDS", 6))
 AUDIO_LEN = AUDIO_SECONDS * 16000
 LABEL_LEN = 32
 WARMUP = int(os.environ.get("BENCH_WARMUP", 3))
-STEPS = int(os.environ.get("BENCH_STEPS", 10))
+STEPS = int(os.environ.get("BENCH_STEPS", 30))
 # Median of several timing windows: the TPU tunnel adds jitter that a single
-# 10-step window under/over-states by 15-20%.
-WINDOWS = int(os.environ.get("BENCH_WINDOWS", 5))
+# short window under/over-states by 15-20%.
+WINDOWS = int(os.environ.get("BENCH_WINDOWS", 3))
 PROFILE_DIR = os.environ.get("BENCH_PROFILE", "")
 # TPU v5e (v5litepod) peak: 197 TFLOP/s bf16 per chip.
 PEAK_FLOPS = {"TPU v5 lite": 197e12, "TPU v5": 459e12, "TPU v4": 275e12,
@@ -106,12 +106,19 @@ def bench_jax():
             jax.block_until_ready(state["params"])
         print(f"profile trace written to {PROFILE_DIR}", file=sys.stderr)
 
+    # Synchronize each window with a VALUE FETCH, not block_until_ready: over
+    # the axon TPU tunnel block_until_ready can acknowledge before remote
+    # execution completes (verified: 50 chained 4096^3 matmuls "finish" in
+    # 2 ms under block_until_ready but take ~75 ms when the result value is
+    # fetched). Fetching a scalar forces a real device round-trip; STEPS=30
+    # amortizes that RTT to <1% of the window.
+    float(losses["loss"])  # drain the warmup queue for real
     rates = []
     for _ in range(WINDOWS):
         t0 = time.perf_counter()
         for i in range(STEPS):
             state, (losses, _, _) = train_step(state, gbatch, rng)
-        jax.block_until_ready(state["params"])
+        float(losses["loss"])  # forces completion of the full step chain
         rates.append(BATCH * STEPS / (time.perf_counter() - t0))
     rates.sort()
     utt_per_sec_total = rates[len(rates) // 2]  # median window
@@ -120,14 +127,19 @@ def bench_jax():
     fwd = jax.jit(lambda p, bs, inputs: model.apply_net(p, bs, inputs,
                                                         False, None)[0])
     ebatch = pmesh.host_local_batch_to_global(model.mesh, batch)
+
+    def _fetch_scalar(o):
+        leaf = jax.tree.leaves(o)[0]
+        return float(leaf[(0,) * leaf.ndim])  # tiny slice -> host round-trip
+
     out = fwd(state["params"], state["batch_stats"], ebatch["inputs"])
-    jax.block_until_ready(out)
+    _fetch_scalar(out)
     erates = []
     for _ in range(WINDOWS):
         t1 = time.perf_counter()
         for _ in range(STEPS):
             out = fwd(state["params"], state["batch_stats"], ebatch["inputs"])
-        jax.block_until_ready(out)
+        _fetch_scalar(out)  # value fetch = real sync over the tunnel
         erates.append(BATCH * STEPS / (time.perf_counter() - t1))
     erates.sort()
 
