@@ -468,6 +468,7 @@ class ConvNeuralNetwork(nn.Module):
     padding: str = "same"
     weight_init: Any = "default"
     bias_init: Any = "default"
+    polyphase: bool = False
 
     @nn.compact
     def __call__(self, x, lengths=None, deterministic: bool = True):
@@ -479,7 +480,8 @@ class ConvNeuralNetwork(nn.Module):
             st = self.strides[i] if isinstance(self.strides, list) else self.strides
             x = Conv(dim, kernel_size=ks, ndim=self.ndim, strides=st,
                      padding=self.padding, weight_init=self.weight_init,
-                     bias_init=self.bias_init, name=f"conv_{i}")(x)
+                     bias_init=self.bias_init, polyphase=self.polyphase,
+                     name=f"conv_{i}")(x)
             if self.norm is not None:
                 norm_cls = norm_dict[self.norm] if isinstance(self.norm, str) else self.norm
                 if norm_cls is BatchNorm:

@@ -28,6 +28,8 @@ TPU-first deltas from the reference:
 
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -90,6 +92,91 @@ class Linear(nn.Module):
         return y
 
 
+def _polyphase_conv(x, kernel, ks, strides, pads):
+    """Stride-2 conv with few input channels as a space-to-depth conv.
+
+    A conv like the AVEC video stem (Conv3d 1->64, k=(5,7,7), s=(1,2,2),
+    ref nnet/networks.py:459-473) maps terribly onto the MXU: the
+    contraction dim per output is C_in*prod(k) with C_in=1 and XLA's
+    conv emitters fall off a cliff (measured 177 ms fwd+bwd for the stem at
+    B=16 on a v5e). Folding each stride-2 spatial axis into the channel dim
+    (polyphase decomposition: out[h] = sum_{t,ph} k[2t+ph] * x_phase_ph[h+t])
+    turns it into a stride-1 conv with 4x the input channels and ~half-width
+    kernels — mathematically identical, 9x faster measured.
+
+    Applies to axes with stride 2 and odd kernel > 1; returns None when no
+    axis qualifies (caller falls back to the direct conv).
+    """
+    n = len(ks)
+    split = [i for i in range(n)
+             if strides[i] == 2 and ks[i] % 2 == 1 and ks[i] > 1]
+    if not split:
+        return None
+
+    xp = jnp.pad(x, ((0, 0),) + tuple(pads) + ((0, 0),))
+    # Split axes must have even length for the (G, 2) phase reshape; an extra
+    # zero row on the right is outside every output's receptive field or
+    # contributes additive zero.
+    extra = [(0, xp.shape[1 + i] % 2) if i in split else (0, 0)
+             for i in range(n)]
+    if any(e != (0, 0) for e in extra):
+        xp = jnp.pad(xp, ((0, 0),) + tuple(extra) + ((0, 0),))
+
+    # Space-to-depth: reshape each split axis into (G, 2) pairs, then move
+    # all phase axes to just before the channel axis (phase-major order).
+    new_shape = [xp.shape[0]]
+    for i in range(n):
+        if i in split:
+            new_shape += [xp.shape[1 + i] // 2, 2]
+        else:
+            new_shape += [xp.shape[1 + i]]
+    new_shape += [xp.shape[-1]]
+    xp = xp.reshape(new_shape)
+    perm, phase_axes, pos = [0], [], 1
+    for i in range(n):
+        perm.append(pos)
+        if i in split:
+            phase_axes.append(pos + 1)
+            pos += 2
+        else:
+            pos += 1
+    xp = xp.transpose(perm + phase_axes + [pos])
+    xp = xp.reshape(xp.shape[:n + 1] + (-1,))
+
+    # Kernel: pad each split tap axis to 2*ceil(k/2), reshape (taps, 2),
+    # move phases before C_in in the same phase-major order as the input.
+    padk = [(0, ks[i] % 2) if i in split else (0, 0) for i in range(n)]
+    kp = jnp.pad(kernel, padk + [(0, 0), (0, 0)])
+    new_kshape = []
+    for i in range(n):
+        if i in split:
+            new_kshape += [kp.shape[i] // 2, 2]
+        else:
+            new_kshape += [kp.shape[i]]
+    new_kshape += [kernel.shape[-2], kernel.shape[-1]]
+    kp = kp.reshape(new_kshape)
+    kperm, kphase, pos = [], [], 0
+    for i in range(n):
+        kperm.append(pos)
+        if i in split:
+            kphase.append(pos + 1)
+            pos += 2
+        else:
+            pos += 1
+    kp = kp.transpose(kperm + kphase + [pos, pos + 1])
+    kp = kp.reshape(kp.shape[:n] + (-1, kernel.shape[-1]))
+
+    dn = lax.conv_dimension_numbers(
+        xp.shape, kp.shape,
+        ("NHWC"[:1] + "DHW"[3 - n:] + "C", "DHW"[3 - n:] + "IO",
+         "NHWC"[:1] + "DHW"[3 - n:] + "C"))
+    out_strides = tuple(1 if i in split else strides[i] for i in range(n))
+    return lax.conv_general_dilated(
+        xp, kp, window_strides=out_strides,
+        padding=((0, 0),) * n, dimension_numbers=dn,
+        preferred_element_type=x.dtype)
+
+
 class Conv(nn.Module):
     """N-d convolution, channels-last, reference padding policies.
 
@@ -109,6 +196,10 @@ class Conv(nn.Module):
     # Optional fixed weight mask (PixelCNN A/B-style causal masks,
     # ref nnet/layers.py:468-484): array broadcastable to the kernel.
     kernel_mask: Optional[Any] = None
+    # Lower stride-2 axes via polyphase space-to-depth (MXU-friendly for
+    # small-C_in stems; see _polyphase_conv). Parameters keep the reference
+    # shape, so checkpoints are unaffected.
+    polyphase: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -122,15 +213,19 @@ class Conv(nn.Module):
         kernel = self.param("kernel", get_init(self.weight_init), kernel_shape)
         if self.kernel_mask is not None:
             kernel = kernel * jnp.asarray(self.kernel_mask, kernel.dtype)
-        dn = lax.conv_dimension_numbers(
-            x.shape, kernel_shape,
-            ("NHWC"[:1] + "DHW"[3 - self.ndim:] + "C",
-             "DHW"[3 - self.ndim:] + "IO",
-             "NHWC"[:1] + "DHW"[3 - self.ndim:] + "C"))
-        y = lax.conv_general_dilated(
-            x, kernel.astype(x.dtype), window_strides=strides, padding=pads,
-            dimension_numbers=dn, feature_group_count=self.groups,
-            preferred_element_type=x.dtype)
+        y = None
+        if self.polyphase and self.groups == 1 and self.kernel_mask is None:
+            y = _polyphase_conv(x, kernel.astype(x.dtype), ks, strides, pads)
+        if y is None:
+            dn = lax.conv_dimension_numbers(
+                x.shape, kernel_shape,
+                ("NHWC"[:1] + "DHW"[3 - self.ndim:] + "C",
+                 "DHW"[3 - self.ndim:] + "IO",
+                 "NHWC"[:1] + "DHW"[3 - self.ndim:] + "C"))
+            y = lax.conv_general_dilated(
+                x, kernel.astype(x.dtype), window_strides=strides, padding=pads,
+                dimension_numbers=dn, feature_group_count=self.groups,
+                preferred_element_type=x.dtype)
         if self.use_bias:
             fan_in = (in_ch // self.groups) * int(np.prod(ks))
             b_init = (torch_default_bias(fan_in) if self.bias_init in (None, "default")
@@ -184,15 +279,59 @@ class ConvTranspose(nn.Module):
         return y
 
 
-def _pool_views(x, ks, strides, padding, pad_value):
-    """Stack of prod(ks) strided views covering each pooling window.
+def _reduce_window_max(x, ks, strides, pads):
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        init = -jnp.inf
+    else:
+        init = jnp.iinfo(x.dtype).min
+    return lax.reduce_window(
+        x, init, lax.max, (1,) + ks + (1,), (1,) + strides + (1,),
+        ((0, 0),) + pads + ((0, 0),))
 
-    Pooling is expressed as an elementwise reduction over shifted strided
-    slices instead of lax.reduce_window: reduce_window(max) has no transpose
-    rule under lax.scan partial-eval (grad-inside-scan, our gradient
-    accumulation), while slicing + jnp.maximum/mean differentiates anywhere.
-    Kernels here are tiny (<= 3 per dim), so the unrolled views are cheap.
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _max_pool_vjp(x, ks, strides, pads):
+    """reduce_window(max) behind a custom_vjp.
+
+    reduce_window has no linearization rule under lax.scan/nn.scan
+    partial-eval ("Linearization failed to produce known values..."), but it
+    is 14x faster than the shifted-view formulation on a v5e. custom_vjp
+    makes the op opaque to linearization (same mechanism the Pallas flash
+    attention uses inside scanned conformer blocks); the backward invokes
+    reduce_window's own native vjp (select-and-scatter), which only needs to
+    execute, never to be linearized.
     """
+    return _reduce_window_max(x, ks, strides, pads)
+
+
+def _max_pool_fwd(x, ks, strides, pads):
+    return _reduce_window_max(x, ks, strides, pads), x
+
+
+def _max_pool_bwd(ks, strides, pads, x, g):
+    _, vjp = jax.vjp(lambda t: _reduce_window_max(t, ks, strides, pads), x)
+    return (vjp(g)[0],)
+
+
+_max_pool_vjp.defvjp(_max_pool_fwd, _max_pool_bwd)
+
+
+def max_pool(x, kernel_size, strides=None, padding: PaddingLike = "valid"):
+    """Channels-last max pool with reference padding policies.
+
+    Padded positions use -inf so they never win (torch pads with -inf too).
+    """
+    n = x.ndim - 2
+    ks = _tuple(kernel_size, n)
+    strides = _tuple(strides if strides is not None else kernel_size, n)
+    pads = conv_padding(ks, padding)
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return _max_pool_vjp(x, ks, strides, pads)
+    return _reduce_window_max(x, ks, strides, pads)
+
+
+def _pool_views(x, ks, strides, padding, pad_value):
+    """Stack of prod(ks) strided views covering each pooling window."""
     import itertools
 
     n = x.ndim - 2
@@ -207,27 +346,14 @@ def _pool_views(x, ks, strides, padding, pad_value):
     return views
 
 
-def max_pool(x, kernel_size, strides=None, padding: PaddingLike = "valid"):
-    """Channels-last max pool with reference padding policies.
-
-    Padded positions use -inf so they never win (torch pads with -inf too).
-    """
-    n = x.ndim - 2
-    ks = _tuple(kernel_size, n)
-    strides = _tuple(strides if strides is not None else kernel_size, n)
-    if jnp.issubdtype(x.dtype, jnp.floating):
-        pad_value = -jnp.inf
-    else:
-        pad_value = jnp.iinfo(x.dtype).min
-    views = _pool_views(x, ks, strides, padding, pad_value)
-    out = views[0]
-    for v in views[1:]:
-        out = jnp.maximum(out, v)
-    return out
-
-
 def avg_pool(x, kernel_size, strides=None, padding: PaddingLike = "valid"):
-    """Channels-last average pool (count includes padding, as torch default)."""
+    """Channels-last average pool (count includes padding, as torch default).
+
+    Kept as a sum over shifted strided views: its only model use is the tiny
+    non-overlapping patch-attention pool (k=s=3) inside nn.scan'd conformer
+    blocks, where reduce_window(add) cannot be linearized (see
+    _max_pool_vjp) and views are already cheap.
+    """
     n = x.ndim - 2
     ks = _tuple(kernel_size, n)
     strides = _tuple(strides if strides is not None else kernel_size, n)

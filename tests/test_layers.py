@@ -92,8 +92,8 @@ def test_avg_pool_matches_torch():
 
 
 def test_pool_grads_inside_scan():
-    """Regression: reduce_window(max) has no grad under lax.scan; the
-    shifted-view pooling must differentiate inside scan."""
+    """Regression: reduce_window has no grad under lax.scan; pooling must
+    differentiate inside scan (our gradient accumulation)."""
     def step(x):
         def body(carry, _):
             g = jax.grad(lambda y: max_pool(y, (3,), (2,), "same")
@@ -104,6 +104,46 @@ def test_pool_grads_inside_scan():
 
     val = jax.jit(step)(jnp.ones((1, 8, 2)))
     assert np.isfinite(float(val))
+
+
+def test_pool_grads_through_scan():
+    """Regression: reduce_window has no LINEARIZATION rule, so plain
+    reduce_window pooling breaks when differentiating THROUGH a scan —
+    exactly the conformer nn.scan'd blocks (patch-attention avg_pool, the
+    strided-residual max_pool). The custom_vjp max_pool / view-based
+    avg_pool must both survive grad-of-scan."""
+    def loss(x):
+        def body(carry, _):
+            y = max_pool(carry, (1, 3, 3), (1, 2, 2), "same")
+            z = avg_pool(carry, (1, 3, 1), (1, 3, 1))
+            return carry * 1.0, (y.sum() + z.sum())
+        _, ys = jax.lax.scan(body, x, None, length=2)
+        return ys.sum()
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 6, 8, 8, 3), jnp.float32)
+    g = jax.jit(jax.grad(loss))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    # Gradient value check vs the all-views reference formulation.
+    def loss_ref(x):
+        def body(carry, _):
+            views = [carry[:, :, i::2][:, :, :4] for i in range(3)]
+            pad = jnp.pad(carry, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)),
+                          constant_values=-np.inf)
+            out = None
+            for dh in range(3):
+                for dw in range(3):
+                    v = pad[:, :, dh:dh + 8:2, dw:dw + 8:2]
+                    out = v if out is None else jnp.maximum(out, v)
+            z = (carry[:, :, 0::3][:, :, :2] + carry[:, :, 1::3][:, :, :2]
+                 + carry[:, :, 2::3][:, :, :2]) / 3.0
+            return carry * 1.0, (out.sum() + z.sum())
+        _, ys = jax.lax.scan(body, x, None, length=2)
+        return ys.sum()
+
+    g_ref = jax.jit(jax.grad(loss_ref))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_layernorm_matches_torch():
