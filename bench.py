@@ -10,8 +10,9 @@
 
 Measures the fully-jitted train step (fbank + SpecAugment + AV encoders +
 6 CTC losses + backward + Adam) on the available accelerator at a realistic
-workload (B=8, 6 s utterances — LRS utterances average ~2-6 s, capped at
-16 s, ref configs/LRS23/AO/EffConfCTC.py:47).
+workload (B=16, 6 s utterances — LRS utterances average ~2-6 s, capped at
+16 s, ref configs/LRS23/AO/EffConfCTC.py:47; B=16 is the better MXU
+utilization point, override with BENCH_BATCH).
 
 vs_baseline compares against a PyTorch-CPU baseline (utterances/sec of an
 equivalent-compute torch AV conformer train step), measured once on this host
@@ -25,7 +26,7 @@ import time
 
 import numpy as np
 
-BATCH = int(os.environ.get("BENCH_BATCH", 8))
+BATCH = int(os.environ.get("BENCH_BATCH", 16))
 AUDIO_SECONDS = int(os.environ.get("BENCH_AUDIO_SECONDS", 6))
 AUDIO_LEN = AUDIO_SECONDS * 16000
 LABEL_LEN = 32
