@@ -106,6 +106,95 @@ def host_local_batch_to_global(mesh: Mesh, batch: Any, batch_axis: int = 0) -> A
     return multihost_utils.host_local_array_to_global_array(batch, mesh, spec)
 
 
+def param_shardings(mesh: Mesh, params: Any, rules) -> Any:
+    """NamedShardings for a param pytree from (path-regex, PartitionSpec)
+    rules — the tensor-parallel layer of the ('data', 'model') mesh.
+
+    Paths are '/'-joined key strings ("transformer/block_0/ff_module/
+    Linear_0/kernel"); first matching rule wins. A rule only applies when
+    every named axis divides the corresponding dim (otherwise the param is
+    replicated — correctness first). GSPMD propagates the resulting
+    shardings through the jitted step and inserts the all-reduces /
+    all-gathers over ICI, replacing Megatron-style manual collectives.
+    """
+    import re
+
+    from jax.tree_util import tree_flatten_with_path, tree_unflatten
+
+    def axis_ok(shape, spec):
+        for dim, name in zip(shape, tuple(spec)):
+            if name is not None and dim % mesh.shape[name] != 0:
+                return False
+        return len(tuple(spec)) <= len(shape)
+
+    flat, treedef = tree_flatten_with_path(params)
+    out = []
+    for path, leaf in flat:
+        pathstr = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                           for k in path)
+        sharding = replicated_sharding(mesh)
+        for pat, spec in rules:
+            if re.search(pat, pathstr):
+                if axis_ok(leaf.shape, spec):
+                    sharding = NamedSharding(mesh, spec)
+                break
+        out.append(sharding)
+    return tree_unflatten(treedef, out)
+
+
+def shard_tree(tree: Any, shardings: Any) -> Any:
+    return jax.tree.map(lambda x, s: jax.device_put(x, s), tree, shardings)
+
+
+def shard_like_params(mesh: Mesh, state: Any, params: Any,
+                      shardings: Any) -> Any:
+    """Place an optimizer-state pytree using the param shardings.
+
+    optax moment trees mirror the params tree, so any state leaf whose path
+    ENDS WITH a param path (same shape) gets that param's sharding;
+    everything else (step counters, scalars) is replicated.
+    """
+    from jax.tree_util import tree_flatten_with_path, tree_unflatten
+
+    def pathstr(path):
+        return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in path)
+
+    pflat, _ = tree_flatten_with_path(params)
+    sflat = jax.tree.leaves(shardings)
+    by_suffix = [(pathstr(path), leaf.shape, sh)
+                 for (path, leaf), sh in zip(pflat, sflat)]
+    flat, treedef = tree_flatten_with_path(state)
+    repl = replicated_sharding(mesh)
+    out = []
+    for path, leaf in flat:
+        ps = pathstr(path)
+        sharding = repl
+        for suffix, shape, sh in by_suffix:
+            if ps.endswith(suffix) and getattr(leaf, "shape", None) == shape:
+                sharding = sh
+                break
+        out.append(jax.device_put(leaf, sharding))
+    return tree_unflatten(treedef, out)
+
+
+def gpt_tensor_parallel_rules():
+    """Megatron-style sharding rules for the GPT stack (models/transformer.py):
+    column-parallel FFN-in and fused QKV projections, row-parallel FFN-out
+    and attention output, hidden-sharded embedding/head."""
+    return [
+        (r"ff_module/Linear_0/kernel$", P(None, "model")),
+        (r"ff_module/Linear_0/bias$", P("model")),
+        (r"ff_module/Linear_1/kernel$", P("model", None)),
+        (r"(query|key|value)_layer/kernel$", P(None, "model")),
+        (r"(query|key|value)_layer/bias$", P("model")),
+        (r"output_layer/kernel$", P("model", None)),
+        (r"embedding/embedding$", P(None, "model")),
+        (r"head/kernel$", P(None, "model")),
+        (r"head/bias$", P("model")),
+    ]
+
+
 def sync_global_devices(name: str = "barrier"):
     """Replaces torch.distributed.barrier (functions.py:58-59)."""
     if jax.process_count() > 1:

@@ -103,6 +103,12 @@ class Model:
         self.seed = seed
         self.base_rng = jax.random.PRNGKey(seed)
         self.mesh = None
+        # Tensor parallelism: list of (path-regex, PartitionSpec) rules
+        # applied at build time (see parallel/mesh.py:param_shardings and
+        # gpt_tensor_parallel_rules). None = pure data parallel (reference
+        # semantics, SURVEY §2.2).
+        self.param_sharding_rules = None
+        self._param_shardings = None
         self.infos: Dict[str, Any] = {}
         self.output_names: Optional[List[str]] = None
         self._train_step_cache: Dict = {}
@@ -187,6 +193,12 @@ class Model:
                     for i, key in enumerate(keys)}
         return {key: struct for key in outputs}
 
+    def _place_params(self, params):
+        """Place a params-shaped tree on the mesh (TP shardings or replicate)."""
+        if self._param_shardings is not None:
+            return pmesh.shard_tree(params, self._param_shardings)
+        return pmesh.replicate(self.mesh, params)
+
     # ---------------------------------------------------------------- build
     def build(self, inputs, precision=None):
         """Init params from a sample batch; map losses/metrics/decoders.
@@ -223,13 +235,27 @@ class Model:
             self.ema_params = jax.tree.map(jnp.copy, self.params)
             self.ema_batch_stats = jax.tree.map(jnp.copy, self.batch_stats)
 
-        # Replicate state across the mesh.
-        self.params = pmesh.replicate(self.mesh, self.params)
+        # Place state across the mesh: replicated (pure data-parallel) or,
+        # when tensor-parallel rules are set, param/optimizer tensors sharded
+        # over the 'model' axis (GSPMD inserts the TP collectives).
+        if self.param_sharding_rules is not None:
+            self._param_shardings = pmesh.param_shardings(
+                self.mesh, self.params, self.param_sharding_rules)
+            self.params = pmesh.shard_tree(self.params, self._param_shardings)
+            self.opt_state = pmesh.shard_like_params(
+                self.mesh, self.opt_state, self.params, self._param_shardings)
+            if self.ema_params is not None:
+                self.ema_params = pmesh.shard_tree(self.ema_params,
+                                                   self._param_shardings)
+        else:
+            self.params = pmesh.replicate(self.mesh, self.params)
+            self.opt_state = pmesh.replicate(self.mesh, self.opt_state)
+            if self.ema_params is not None:
+                self.ema_params = pmesh.replicate(self.mesh, self.ema_params)
         self.batch_stats = pmesh.replicate(self.mesh, self.batch_stats)
-        self.opt_state = pmesh.replicate(self.mesh, self.opt_state)
-        if self.ema_params is not None:
-            self.ema_params = pmesh.replicate(self.mesh, self.ema_params)
-            self.ema_batch_stats = pmesh.replicate(self.mesh, self.ema_batch_stats)
+        if self.ema_batch_stats is not None:
+            self.ema_batch_stats = pmesh.replicate(self.mesh,
+                                                   self.ema_batch_stats)
 
         # Config-requested partial load (e.g. LRW front-end surgery,
         # ref configs/LRS23/AV/EffConfInterCTC.py:70-75).
@@ -763,19 +789,23 @@ class Model:
         template = {"params": self.params, "batch_stats": self.batch_stats}
         restored = ckpt.restore_tree(template, payload["model_state_dict"],
                                      strict=strict)
-        self.params = pmesh.replicate(self.mesh, restored["params"])
+        self.params = self._place_params(restored["params"])
         self.batch_stats = pmesh.replicate(self.mesh, restored["batch_stats"])
         if load_optimizer and payload.get("optimizer_state_dict") is not None:
             from flax import serialization
 
-            self.opt_state = pmesh.replicate(self.mesh, serialization.from_state_dict(
-                self.opt_state, payload["optimizer_state_dict"]))
+            opt = serialization.from_state_dict(
+                self.opt_state, payload["optimizer_state_dict"])
+            self.opt_state = (pmesh.shard_like_params(
+                self.mesh, opt, self.params, self._param_shardings)
+                if self._param_shardings is not None
+                else pmesh.replicate(self.mesh, opt))
             self.model_step = int(payload["model_step"])
         if payload.get("ema_model_state_dict") is not None and self.ema_params is not None:
             ema_t = {"params": self.ema_params, "batch_stats": self.ema_batch_stats}
             ema = ckpt.restore_tree(ema_t, payload["ema_model_state_dict"],
                                     strict=strict)
-            self.ema_params = pmesh.replicate(self.mesh, ema["params"])
+            self.ema_params = self._place_params(ema["params"])
             self.ema_batch_stats = pmesh.replicate(self.mesh, ema["batch_stats"])
         if self.rank == 0 and verbose:
             print(f"Rank {self.rank}: Model loaded at step {self.model_step}")
