@@ -100,7 +100,7 @@ class AudioEfficientConformerEncoder(nn.Module):
         x = x[..., None].astype(compute_dtype)
         x, lengths = ConvNeuralNetwork(
             dim_layers=subsampling_filters, kernel_size=3, strides=2,
-            norm="BatchNorm2d", act_fun="Swish", ndim=2,
+            norm="BatchNorm2d", act_fun="Swish", ndim=2, polyphase=True,
             name="subsampling_module")(x, lengths, deterministic=not training)
 
         # Flatten frequency into features: (B, F', T'', C) -> (B, T'', F'*C).
@@ -159,12 +159,14 @@ class VisualEfficientConformerEncoder(nn.Module):
             dim_layers=64, kernel_size=(5, 7, 7), strides=(1, 2, 2),
             norm="BatchNorm3d", act_fun="ReLU", ndim=3, polyphase=True,
             name="front_end_stem")(x, deterministic=not training)
-        # MaxPool3d k(1,3,3) s(1,2,2) "same": 44 -> 22.
-        x = max_pool(x, (1, 3, 3), (1, 2, 2), padding="same")
-
-        # Per-frame ResNet18 (no stem): (B*T, H, W, 64) -> (B*T, 256).
+        # MaxPool3d k(1,3,3) s(1,2,2) "same": 44 -> 22. The time kernel is 1,
+        # so flatten (B, T) first and pool in 2-D — same math, and XLA picks
+        # a sane NHWC layout instead of a transposed 5-D one.
         _, _, h, w, c = x.shape
         x = x.reshape(b * t, h, w, c)
+        x = max_pool(x, (3, 3), (2, 2), padding="same")
+
+        # Per-frame ResNet18 (no stem): (B*T, H, W, 64) -> (B*T, 256).
         x = ResNet(model="ResNet18", include_stem=False,
                    dim_output=dim_model[0], name="front_end_resnet")(
                        x, deterministic=not training)
