@@ -468,7 +468,7 @@ class ConvNeuralNetwork(nn.Module):
     padding: str = "same"
     weight_init: Any = "default"
     bias_init: Any = "default"
-    polyphase: bool = False
+    polyphase: Any = False
 
     @nn.compact
     def __call__(self, x, lengths=None, deterministic: bool = True):

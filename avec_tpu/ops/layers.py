@@ -92,7 +92,7 @@ class Linear(nn.Module):
         return y
 
 
-def _polyphase_conv(x, kernel, ks, strides, pads):
+def _polyphase_conv(x, kernel, ks, strides, pads, unroll_taps=False):
     """Stride-2 conv with few input channels as a space-to-depth conv.
 
     A conv like the AVEC video stem (Conv3d 1->64, k=(5,7,7), s=(1,2,2),
@@ -166,6 +166,31 @@ def _polyphase_conv(x, kernel, ks, strides, pads):
     kp = kp.transpose(kperm + kphase + [pos, pos + 1])
     kp = kp.reshape(kp.shape[:n] + (-1, kernel.shape[-1]))
 
+    if unroll_taps:
+        # Also fold stride-1 tap axes (e.g. the stem's kT=5 time axis) into
+        # channels: XLA's weight-gradient conv for a (5,4,4)-tap kernel is
+        # far slower than for a (1,4,4) one (measured 10x on v5e). Each tap
+        # becomes a shifted slice concatenated channel-major; the kernel
+        # axis moves next to C_in in the same tap-major order.
+        for i in range(n):
+            if i in split or ks[i] <= 1 or strides[i] != 1:
+                continue
+            klen = kp.shape[i]
+            out_len = xp.shape[1 + i] - klen + 1
+            xp = jnp.concatenate(
+                [lax.slice_in_dim(xp, dt, dt + out_len, axis=1 + i)
+                 for dt in range(klen)], axis=-1)
+            # kernel axis i -> tap-major channel block
+            kperm2 = [a for a in range(n) if a != i] + [i, n, n + 1]
+            kp = kp.transpose(kperm2)
+            kp = kp.reshape(kp.shape[:n - 1] + (1,) * 1
+                            + (klen * kp.shape[-2], kp.shape[-1]))
+            # restore spatial axis order: the collapsed axis i is now size 1
+            # and sits at position n-1; move it back to position i.
+            order = list(range(n - 1))
+            order.insert(i, n - 1)
+            kp = kp.transpose(order + [n, n + 1])
+
     dn = lax.conv_dimension_numbers(
         xp.shape, kp.shape,
         ("NHWC"[:1] + "DHW"[3 - n:] + "C", "DHW"[3 - n:] + "IO",
@@ -197,9 +222,10 @@ class Conv(nn.Module):
     # ref nnet/layers.py:468-484): array broadcastable to the kernel.
     kernel_mask: Optional[Any] = None
     # Lower stride-2 axes via polyphase space-to-depth (MXU-friendly for
-    # small-C_in stems; see _polyphase_conv). Parameters keep the reference
-    # shape, so checkpoints are unaffected.
-    polyphase: bool = False
+    # small-C_in stems; see _polyphase_conv). "full" additionally unrolls
+    # stride-1 tap axes into channels (fast weight-gradient). Parameters
+    # keep the reference shape, so checkpoints are unaffected.
+    polyphase: Any = False
 
     @nn.compact
     def __call__(self, x):
@@ -215,7 +241,8 @@ class Conv(nn.Module):
             kernel = kernel * jnp.asarray(self.kernel_mask, kernel.dtype)
         y = None
         if self.polyphase and self.groups == 1 and self.kernel_mask is None:
-            y = _polyphase_conv(x, kernel.astype(x.dtype), ks, strides, pads)
+            y = _polyphase_conv(x, kernel.astype(x.dtype), ks, strides, pads,
+                                unroll_taps=(self.polyphase == "full"))
         if y is None:
             dn = lax.conv_dimension_numbers(
                 x.shape, kernel_shape,

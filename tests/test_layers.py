@@ -190,3 +190,37 @@ def test_conv_transpose_matches_torch():
     want = yt.numpy().transpose(0, 2, 1)
     assert ours.shape == want.shape
     np.testing.assert_allclose(ours, want, rtol=1e-4, atol=1e-5)
+
+
+def test_polyphase_conv_matches_direct():
+    """Conv(polyphase=True|"full") is a pure lowering: outputs and kernel
+    gradients must match the direct conv exactly (fp32) for the stem shapes
+    (3-D video stem k(5,7,7) s(1,2,2); 2-D audio stem k3 s2)."""
+    from avec_tpu.ops.layers import Conv
+
+    rng = np.random.RandomState(0)
+    cases = [
+        # (x shape, kernel, strides, ndim)
+        ((2, 7, 20, 18, 1), (5, 7, 7), (1, 2, 2), 3),
+        ((2, 21, 16, 1), (3, 3), (2, 2), 2),
+        ((2, 16, 17, 3), (3, 5), (2, 2), 2),  # multi-channel, odd width
+    ]
+    for shape, ks, st, ndim in cases:
+        x = jnp.asarray(rng.rand(*shape), jnp.float32)
+        for mode in (True, "full"):
+            ref = Conv(4, kernel_size=ks, ndim=ndim, strides=st,
+                       padding="same", polyphase=False)
+            opt = Conv(4, kernel_size=ks, ndim=ndim, strides=st,
+                       padding="same", polyphase=mode)
+            v = ref.init(jax.random.PRNGKey(0), x)
+            y_ref = ref.apply(v, x)
+            y_opt = opt.apply(v, x)
+            np.testing.assert_allclose(np.asarray(y_opt), np.asarray(y_ref),
+                                       rtol=1e-5, atol=1e-5,
+                                       err_msg=f"{shape} {ks} {mode}")
+            g_ref = jax.grad(lambda v_: ref.apply(v_, x).sum())(v)
+            g_opt = jax.grad(lambda v_: opt.apply(v_, x).sum())(v)
+            np.testing.assert_allclose(
+                np.asarray(jax.tree.leaves(g_opt)[1]),
+                np.asarray(jax.tree.leaves(g_ref)[1]),
+                rtol=1e-4, atol=1e-4, err_msg=f"grad {shape} {ks} {mode}")
