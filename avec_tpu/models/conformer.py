@@ -26,6 +26,7 @@ reference's mask[::s, ::s] / (len-1)//s+1 semantics hold
 (networks.py:294-302).
 """
 
+import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import jax.numpy as jnp
@@ -43,6 +44,8 @@ from avec_tpu.ops.layers import (
     norm_dict,
 )
 from avec_tpu.ops.masks import downsample_mask, strided_lengths
+
+_UNROLL_BLOCKS_DEFAULT = os.environ.get("AVEC_TPU_UNROLL_BLOCKS", "") == "1"
 
 
 class FeedForwardModule(nn.Module):
@@ -304,6 +307,12 @@ class ConformerInterCTC(nn.Module):
     # trades ~30% more FLOPs for O(1) activation memory per block — lifts
     # the HBM ceiling for large batch x long sequence training.
     remat: bool = False
+    # Unroll the nn.scan'd uniform block runs at lowering time (lax.scan
+    # unroll=N): same stacked parameters / checkpoints, removes the per-
+    # iteration parameter dynamic-slice overhead at the cost of compile
+    # time. Default from AVEC_TPU_UNROLL_BLOCKS=1 (compile caches persist,
+    # so production pays the longer compile once).
+    unroll_blocks: bool = _UNROLL_BLOCKS_DEFAULT
 
     def _block_plan(self):
         """Static per-block configs + homogeneous-run grouping."""
@@ -374,6 +383,7 @@ class ConformerInterCTC(nn.Module):
                     split_rngs={"params": True, "dropout": True},
                     in_axes=(nn.broadcast,),
                     length=len(run),
+                    unroll=len(run) if self.unroll_blocks else 1,
                 )(block_kwargs=run[0]["kwargs"], deterministic=deterministic,
                   name=f"blocks_{first}_{last}")
                 x, _ = scan(x, mask)

@@ -26,6 +26,12 @@ import time
 
 import numpy as np
 
+# Unroll the conformer nn.scan block runs at lowering time: +4.6% measured
+# throughput (120.7 vs 115.4 utt/s/chip at B=16) for a one-time longer
+# compile that the persistent cache amortizes. Must be set before the
+# package import.
+os.environ.setdefault("AVEC_TPU_UNROLL_BLOCKS", "1")
+
 BATCH = int(os.environ.get("BENCH_BATCH", 16))
 AUDIO_SECONDS = int(os.environ.get("BENCH_AUDIO_SECONDS", 6))
 AUDIO_LEN = AUDIO_SECONDS * 16000
