@@ -17,12 +17,17 @@ zero_infinity clamps infeasible samples (target longer than input allows) to 0.
 
 TPU-first design: a lax.scan over time with an (B, S) alpha state,
 S = 2*U_max + 1 interleaved blank/label positions; all shapes static, fully
-differentiable, jit/vmap/pjit-compatible. Gradients come from autodiff of the
-forward recursion (exactly the CTC gradient).
+differentiable, jit/vmap/pjit-compatible. The gradient is the classic
+alpha-beta posterior (custom_vjp): dNLL/dlog_p[t, v] =
+-sum_{s: ext[s]=v} exp(alpha_t[s] + beta_t[s] - log Z) — one forward scan
+plus one reverse scan instead of autodiff's transposed replay (measured
+cheaper on TPU: autodiff's scan transpose re-gathers per step).
 """
 
+import functools
 from typing import Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -34,21 +39,8 @@ def _logaddexp(a, b):
     return jnp.logaddexp(a, b)
 
 
-def ctc_forward_score(log_probs: jnp.ndarray, logit_lengths: jnp.ndarray,
-                      labels: jnp.ndarray, label_lengths: jnp.ndarray,
-                      blank: int = 0) -> jnp.ndarray:
-    """Per-sample negative log likelihood of the label sequences.
-
-    Args:
-      log_probs: (B, T, V) log-softmax outputs.
-      logit_lengths: (B,) valid frame counts.
-      labels: (B, U) padded label ids.
-      label_lengths: (B,) valid label counts.
-      blank: blank id (0 everywhere in the reference).
-
-    Returns: (B,) total NLL per sample (sum over frames), matching
-    torch.nn.CTCLoss(reduction='none').
-    """
+def _ctc_topology(log_probs, labels, label_lengths, blank):
+    """Extended-sequence tensors shared by the alpha and beta recursions."""
     b, t, v = log_probs.shape
     u = labels.shape[1]
     s = 2 * u + 1
@@ -68,10 +60,16 @@ def ctc_forward_score(log_probs: jnp.ndarray, logit_lengths: jnp.ndarray,
     # Per-frame log prob of each extended label: (B, T, S) gather.
     lp_ext = jnp.take_along_axis(
         log_probs, ext[:, None, :].astype(jnp.int32).repeat(t, axis=1), axis=2)
+    return ext, pos, valid_s, can_skip, lp_ext
 
-    neg = jnp.full((), _NEG_INF, dtype=log_probs.dtype)
 
-    alpha0 = jnp.full((b, s), _NEG_INF, dtype=log_probs.dtype)
+def _ctc_alpha(lp_ext, logit_lengths, label_lengths, valid_s, can_skip):
+    """Forward recursion. Returns (alpha_all (T, B, S), nll (B,))."""
+    t = lp_ext.shape[1]
+    s = lp_ext.shape[2]
+    neg = jnp.full((), _NEG_INF, dtype=lp_ext.dtype)
+
+    alpha0 = jnp.full(lp_ext.shape[:1] + (s,), _NEG_INF, dtype=lp_ext.dtype)
     alpha0 = alpha0.at[:, 0].set(lp_ext[:, 0, 0])
     has_label = label_lengths > 0
     alpha0 = alpha0.at[:, 1].set(jnp.where(has_label, lp_ext[:, 0, 1], neg))
@@ -89,10 +87,11 @@ def ctc_forward_score(log_probs: jnp.ndarray, logit_lengths: jnp.ndarray,
         # Freeze alpha past each sample's last valid frame.
         active = (t_i < logit_lengths.astype(jnp.int32))[:, None]
         new = jnp.where(active, new, alpha)
-        return new, None
+        return new, new
 
     lp_seq = lp_ext.transpose(1, 0, 2)  # (T, B, S)
-    alpha, _ = lax.scan(step, alpha0, (lp_seq[1:], time_idx[1:]))
+    alpha, alpha_rest = lax.scan(step, alpha0, (lp_seq[1:], time_idx[1:]))
+    alpha_all = jnp.concatenate([alpha0[None], alpha_rest], axis=0)
 
     # Final score: logsumexp of positions 2*U_b and 2*U_b - 1.
     last = 2 * label_lengths.astype(jnp.int32)
@@ -100,7 +99,104 @@ def ctc_forward_score(log_probs: jnp.ndarray, logit_lengths: jnp.ndarray,
     a_prev = jnp.take_along_axis(
         alpha, jnp.maximum(last - 1, 0)[:, None], axis=1)[:, 0]
     a_prev = jnp.where(label_lengths > 0, a_prev, neg)
-    return -_logaddexp(a_last, a_prev)
+    return alpha_all, -_logaddexp(a_last, a_prev)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _ctc_score(log_probs, logit_lengths, labels, label_lengths, blank):
+    _, _, valid_s, can_skip, lp_ext = _ctc_topology(
+        log_probs, labels, label_lengths, blank)
+    _, nll = _ctc_alpha(lp_ext, logit_lengths, label_lengths, valid_s,
+                        can_skip)
+    return nll
+
+
+def _ctc_score_fwd(log_probs, logit_lengths, labels, label_lengths, blank):
+    ext, pos, valid_s, can_skip, lp_ext = _ctc_topology(
+        log_probs, labels, label_lengths, blank)
+    alpha_all, nll = _ctc_alpha(lp_ext, logit_lengths, label_lengths,
+                                valid_s, can_skip)
+    res = (alpha_all, nll, ext, pos, valid_s, can_skip, lp_ext,
+           logit_lengths, labels, label_lengths, log_probs.shape[2])
+    return nll, res
+
+
+def _ctc_score_bwd(blank, res, g):
+    """Classic alpha-beta CTC gradient: one reverse scan + a posterior
+    scatter, instead of autodiff's transposed alpha-scan replay."""
+    (alpha_all, nll, ext, pos, valid_s, can_skip, lp_ext,
+     logit_lengths, labels, label_lengths, v) = res
+    t = lp_ext.shape[1]
+    s = lp_ext.shape[2]
+    neg = jnp.full((), _NEG_INF, dtype=lp_ext.dtype)
+
+    # beta_{len-1}[s] = 0 at s in {2U, 2U-1}; the reverse recursion freezes
+    # (keeps the end state) for frames past each sample's length, mirroring
+    # the forward freeze.
+    last = 2 * label_lengths.astype(jnp.int32)
+    end_state = jnp.where(
+        (pos == last[:, None])
+        | ((pos == last[:, None] - 1) & (label_lengths > 0)[:, None]),
+        jnp.zeros((), lp_ext.dtype), neg)
+    end_state = jnp.where(valid_s, end_state, neg)
+
+    # Skip transition s -> s+2 exists iff can_skip at s+2.
+    can_skip_p2 = jnp.pad(can_skip, ((0, 0), (0, 2)))[:, 2:]
+
+    lp_seq = lp_ext.transpose(1, 0, 2)  # (T, B, S)
+    time_idx = jnp.arange(t)
+
+    def step(beta, inputs):
+        lp_t1, t1 = inputs  # consumes frame t1, produces beta_{t1-1}
+        c = beta + lp_t1
+        c_p1 = jnp.pad(c, ((0, 0), (0, 1)), constant_values=_NEG_INF)[:, 1:]
+        c_p2 = jnp.pad(c, ((0, 0), (0, 2)), constant_values=_NEG_INF)[:, 2:]
+        c_p2 = jnp.where(can_skip_p2, c_p2, neg)
+        new = _logaddexp(_logaddexp(c, c_p1), c_p2)
+        new = jnp.where(valid_s, new, neg)
+        active = (t1 < logit_lengths.astype(jnp.int32))[:, None]
+        new = jnp.where(active, new, beta)
+        return new, new
+
+    _, beta_rest = lax.scan(step, end_state, (lp_seq[1:], time_idx[1:]),
+                            reverse=True)
+    beta_all = jnp.concatenate([beta_rest, end_state[None]], axis=0)
+
+    # Posterior gamma_t(s) = exp(alpha_t + beta_t - logZ); logZ = -nll.
+    log_gamma = alpha_all + beta_all + nll[None, :, None]
+    frame_ok = (time_idx[:, None] < logit_lengths.astype(jnp.int32)[None, :])
+    gamma = jnp.exp(jnp.minimum(log_gamma, 0.0))
+    gamma = jnp.where(frame_ok[:, :, None] & valid_s[None], gamma, 0.0)
+
+    # Scatter extended positions back to the vocab: (T,B,S) x (B,S,V).
+    onehot = jax.nn.one_hot(ext.astype(jnp.int32), v, dtype=gamma.dtype)
+    dlp = -jnp.einsum("tbs,bsv->btv", gamma, onehot)
+    dlp = dlp * g[:, None, None]
+
+    zero = lambda x: np.zeros(np.shape(x), dtype=jax.dtypes.float0)
+    return (dlp, zero(logit_lengths), zero(labels), zero(label_lengths))
+
+
+_ctc_score.defvjp(_ctc_score_fwd, _ctc_score_bwd)
+
+
+def ctc_forward_score(log_probs: jnp.ndarray, logit_lengths: jnp.ndarray,
+                      labels: jnp.ndarray, label_lengths: jnp.ndarray,
+                      blank: int = 0) -> jnp.ndarray:
+    """Per-sample negative log likelihood of the label sequences.
+
+    Args:
+      log_probs: (B, T, V) log-softmax outputs.
+      logit_lengths: (B,) valid frame counts.
+      labels: (B, U) padded label ids.
+      label_lengths: (B,) valid label counts.
+      blank: blank id (0 everywhere in the reference).
+
+    Returns: (B,) total NLL per sample (sum over frames), matching
+    torch.nn.CTCLoss(reduction='none').
+    """
+    return _ctc_score(log_probs, logit_lengths, labels,
+                      label_lengths, blank)
 
 
 def ctc_loss(logits: jnp.ndarray, logit_lengths: jnp.ndarray,
