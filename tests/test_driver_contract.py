@@ -25,6 +25,7 @@ def test_bench_batch_shapes():
     assert vlen.tolist() == [video.shape[1]] * 2
 
 
+@pytest.mark.slow
 def test_graft_entry_forward():
     import jax
 
