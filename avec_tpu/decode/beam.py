@@ -71,6 +71,8 @@ def ctc_prefix_beam_search(log_probs: np.ndarray, seq_len: int, beam_size: int,
         lp = log_probs[t]
         if top_n < v:
             cand = np.argpartition(-lp, top_n)[:top_n]
+            if blank not in cand:  # blank must always be considered
+                cand = np.concatenate([cand, [blank]])
         else:
             cand = range(v)
         new_beams: Dict[Tuple[int, ...], Tuple[float, float, float]] = {}
@@ -166,7 +168,7 @@ class CTCBeamSearchDecoder:
                 self._native = NativeBeamDecoder(
                     blank=0, beam_size=beam_size, alpha=ngram_alpha,
                     beta=ngram_beta, ngram_path=ngram_path,
-                    ngram_offset=ngram_offset)
+                    ngram_offset=ngram_offset, num_threads=num_processes)
             except Exception:
                 self._native = None
 
@@ -242,18 +244,21 @@ class CTCBeamSearchDecoder:
         logits = logits / self.ngram_tmp
         logp = logits - _logsumexp_np(logits)
 
-        all_beams: List[List[Tuple[Tuple[int, ...], float]]] = []
-        for i in range(logits.shape[0]):
-            if self._native is not None:
-                beams = self._native.decode(logp[i], int(logits_len[i]))
-            else:
-                beams = ctc_prefix_beam_search(
+        if self._native is not None:
+            # Whole batch through the C++ thread pool (num_processes parity).
+            all_beams = self._native.decode_batch(
+                logp, logits_len.astype(np.int32))
+        else:
+            all_beams = [
+                ctc_prefix_beam_search(
                     logp[i], int(logits_len[i]), self.beam_size, blank=0,
                     lm=self.lm, alpha=self.ngram_alpha, beta=self.ngram_beta,
                     token_to_word=self._token_to_word)
+                for i in range(logits.shape[0])]
+        for beams in all_beams:
             while len(beams) < self.beam_size:
                 beams.append(((), NEG_INF))
-            all_beams.append(beams[: self.beam_size])
+        all_beams = [beams[: self.beam_size] for beams in all_beams]
 
         # Scores as negative log-likelihood (argmin best, ref :242).
         beam_scores = np.array([[-s for _, s in beams] for beams in all_beams])

@@ -50,6 +50,8 @@ def _load():
     lib.bd_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_double,
                               ctypes.c_double, ctypes.c_char_p, ctypes.c_int]
     lib.bd_destroy.argtypes = [ctypes.c_void_p]
+    lib.bd_set_cutoff.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                  ctypes.c_double]
     lib.bd_decode.restype = ctypes.c_int
     lib.bd_decode.argtypes = [
         ctypes.c_void_p,
@@ -59,6 +61,16 @@ def _load():
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
         ctypes.c_int,
+    ]
+    lib.bd_decode_batch.argtypes = [
+        ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ctypes.c_int, ctypes.c_int,
     ]
     _lib_handle = lib
     return lib
@@ -71,14 +83,19 @@ class NativeBeamDecoder:
 
     def __init__(self, blank: int = 0, beam_size: int = 16, alpha: float = 0.6,
                  beta: float = 1.0, ngram_path: Optional[str] = None,
-                 ngram_offset: int = 100):
+                 ngram_offset: int = 100, cutoff_top_n: Optional[int] = None,
+                 cutoff_prob: float = 1.0, num_threads: int = 8):
         self._lib = _load()
         path = (ngram_path or "").encode()
         self._handle = self._lib.bd_create(blank, beam_size, alpha, beta,
                                            path, ngram_offset)
         if not self._handle:
             raise RuntimeError(f"bd_create failed (ngram_path={ngram_path})")
+        if cutoff_top_n is not None or cutoff_prob < 1.0:
+            self._lib.bd_set_cutoff(self._handle, int(cutoff_top_n or 0),
+                                    float(cutoff_prob))
         self.beam_size = beam_size
+        self.num_threads = num_threads
 
     def __del__(self):
         if getattr(self, "_handle", None):
@@ -96,3 +113,27 @@ class NativeBeamDecoder:
                                 tokens, lens, scores, max_out_len)
         return [(tuple(tokens[i, : lens[i]].tolist()), float(scores[i]))
                 for i in range(n)]
+
+    def decode_batch(self, logp: np.ndarray, seq_lens: np.ndarray,
+                     max_out_len: int = 512
+                     ) -> List[List[Tuple[Tuple[int, ...], float]]]:
+        """Decode a (B, T, V) batch on the C++ thread pool (num_processes
+        parity, ref nnet/decoders.py:30). Returns per-utterance beam lists
+        with the same contract as decode()."""
+        logp = np.ascontiguousarray(logp, dtype=np.float32)
+        b, t, v = logp.shape
+        seq_lens = np.ascontiguousarray(seq_lens, dtype=np.int32)
+        tokens = np.zeros((b, self.beam_size, max_out_len), np.int32)
+        lens = np.zeros((b, self.beam_size), np.int32)
+        scores = np.full((b, self.beam_size), -np.inf, np.float64)
+        self._lib.bd_decode_batch(self._handle, logp, b, t, v, seq_lens,
+                                  tokens, lens, scores, max_out_len,
+                                  int(self.num_threads))
+        out = []
+        for i in range(b):
+            beams = [(tuple(tokens[i, k, : lens[i, k]].tolist()),
+                      float(scores[i, k]))
+                     for k in range(self.beam_size)
+                     if np.isfinite(scores[i, k]) or lens[i, k] > 0]
+            out.append(beams)
+        return out

@@ -122,6 +122,110 @@ def test_native_decoder_matches_python(arpa_path):
         assert abs(s1 - s2) < 1e-3
 
 
+ARPA3 = """\\data\\
+ngram 1=4
+ngram 2=5
+ngram 3=3
+
+\\1-grams:
+-0.6\ta\t-0.25
+-0.8\tb\t-0.15
+-1.1\tc\t-0.35
+-0.9\t</s>
+
+\\2-grams:
+-0.3\ta b\t-0.1
+-0.45\tb a\t-0.2
+-0.5\tb c\t-0.12
+-0.7\tc a
+-0.65\ta c\t-0.3
+
+\\3-grams:
+-0.2\ta b c
+-0.35\tb a b
+-0.4\ta c a
+
+\\end\\
+"""
+
+
+@pytest.mark.skipif(not _has_gxx(), reason="no g++")
+def test_native_trigram_state_matches_python(tmp_path):
+    """The native decoder's KenLM-style LM-state shortcut (skip contexts
+    longer than the last matched n-gram) must be score-exact vs the Python
+    full backoff walk on a suffix-closed 3-gram ARPA."""
+    from avec_tpu.decode.native import NativeBeamDecoder
+
+    p = os.path.join(tmp_path, "lm3.arpa")
+    with open(p, "w") as f:
+        f.write(ARPA3)
+    rng = np.random.RandomState(3)
+    logits = rng.randn(18, 5).astype(np.float32) * 2
+    lp = (logits - _lse(logits)).astype(np.float32)
+    lm = ArpaLM(p)
+    py = ctc_prefix_beam_search(
+        lp, 18, beam_size=6, lm=lm, alpha=0.6, beta=1.0,
+        token_to_word=lambda i: chr(i + 96))
+    nat = NativeBeamDecoder(blank=0, beam_size=6, alpha=0.6, beta=1.0,
+                            ngram_path=p, ngram_offset=96).decode(lp, 18)
+    assert [pr for pr, _ in py] == [pr for pr, _ in nat]
+    for (_, s1), (_, s2) in zip(py, nat):
+        assert abs(s1 - s2) < 1e-6
+
+
+@pytest.mark.skipif(not _has_gxx(), reason="no g++")
+def test_native_batch_decode_matches_serial(arpa_path):
+    """bd_decode_batch (thread pool) == per-utterance bd_decode, incl. with
+    the ARPA LM and per-utterance seq_lens."""
+    from avec_tpu.decode.native import NativeBeamDecoder
+
+    rng = np.random.RandomState(7)
+    b, t, v = 6, 20, 5
+    logits = rng.randn(b, t, v).astype(np.float32) * 2
+    lp = (logits - _lse(logits)).astype(np.float32)
+    seq_lens = np.array([20, 15, 20, 8, 20, 1], np.int32)
+
+    for kwargs in [dict(), dict(alpha=0.6, beta=1.0, ngram_path=arpa_path,
+                              ngram_offset=96)]:
+        dec = NativeBeamDecoder(blank=0, beam_size=4, num_threads=3, **kwargs)
+        batch = dec.decode_batch(lp, seq_lens)
+        for i in range(b):
+            serial = dec.decode(lp[i], int(seq_lens[i]))
+            assert [p for p, _ in batch[i]] == [p for p, _ in serial]
+            for (_, s1), (_, s2) in zip(batch[i], serial):
+                assert abs(s1 - s2) < 1e-9
+
+
+@pytest.mark.skipif(not _has_gxx(), reason="no g++")
+def test_native_cutoff_pruning():
+    """cutoff_top_n keeps top tokens only (matches the Python cutoff path);
+    pruning must not change the result on peaky inputs, and must restrict
+    candidates on flat inputs."""
+    from avec_tpu.decode.native import NativeBeamDecoder
+
+    lp = _peaky_logp([1, 2, 1, 3]).astype(np.float32)
+    t = lp.shape[0]
+    full = NativeBeamDecoder(blank=0, beam_size=4).decode(lp, t)
+    pruned = NativeBeamDecoder(blank=0, beam_size=4,
+                               cutoff_top_n=2).decode(lp, t)
+    assert pruned[0][0] == full[0][0] == (1, 2, 1, 3)
+
+    # Python parity at the same cutoff on random inputs: candidate sets are
+    # identical (top-n by log-prob), so beams must agree.
+    rng = np.random.RandomState(11)
+    logits = rng.randn(16, 6).astype(np.float32) * 2
+    lp2 = (logits - _lse(logits)).astype(np.float32)
+    py = ctc_prefix_beam_search(lp2, 16, beam_size=4, cutoff_top_n=3)
+    nat = NativeBeamDecoder(blank=0, beam_size=4,
+                            cutoff_top_n=3).decode(lp2, 16)
+    assert [p for p, _ in py] == [p for p, _ in nat]
+
+    # cutoff_prob < 1 on a peaky distribution: still decodes correctly.
+    prob = NativeBeamDecoder(blank=0, beam_size=4,
+                             cutoff_prob=0.99).decode(lp, t)
+    assert prob[0][0] == (1, 2, 1, 3)
+
+
 def test_beam_decoder_end_to_end(tmp_path):
     corpus = ["a b a", "b a b", "a a b"]
     tok = Tokenizer(train_bpe(corpus, 8))
