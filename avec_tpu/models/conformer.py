@@ -45,7 +45,11 @@ from avec_tpu.ops.layers import (
 )
 from avec_tpu.ops.masks import downsample_mask, strided_lengths
 
-_UNROLL_BLOCKS_DEFAULT = os.environ.get("AVEC_TPU_UNROLL_BLOCKS", "") == "1"
+def _unroll_blocks_default() -> bool:
+    """Read AVEC_TPU_UNROLL_BLOCKS at trace time (not import time), so
+    setting the env var inside a driver (bench.py) works regardless of
+    import order and importing a driver never flips other code's models."""
+    return os.environ.get("AVEC_TPU_UNROLL_BLOCKS", "") == "1"
 
 
 class FeedForwardModule(nn.Module):
@@ -310,9 +314,9 @@ class ConformerInterCTC(nn.Module):
     # Unroll the nn.scan'd uniform block runs at lowering time (lax.scan
     # unroll=N): same stacked parameters / checkpoints, removes the per-
     # iteration parameter dynamic-slice overhead at the cost of compile
-    # time. Default from AVEC_TPU_UNROLL_BLOCKS=1 (compile caches persist,
-    # so production pays the longer compile once).
-    unroll_blocks: bool = _UNROLL_BLOCKS_DEFAULT
+    # time. Default (None) from AVEC_TPU_UNROLL_BLOCKS=1 at trace time
+    # (compile caches persist, so production pays the longer compile once).
+    unroll_blocks: Optional[bool] = None
 
     def _block_plan(self):
         """Static per-block configs + homogeneous-run grouping."""
@@ -383,7 +387,9 @@ class ConformerInterCTC(nn.Module):
                     split_rngs={"params": True, "dropout": True},
                     in_axes=(nn.broadcast,),
                     length=len(run),
-                    unroll=len(run) if self.unroll_blocks else 1,
+                    unroll=len(run) if (
+                        self.unroll_blocks if self.unroll_blocks is not None
+                        else _unroll_blocks_default()) else 1,
                 )(block_kwargs=run[0]["kwargs"], deterministic=deterministic,
                   name=f"blocks_{first}_{last}")
                 x, _ = scan(x, mask)

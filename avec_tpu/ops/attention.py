@@ -231,12 +231,19 @@ class RelPos1dMultiHeadAttention(MultiHeadAttention):
         # Flash path is gated to deterministic (no attention-weight dropout
         # inside the kernel); it IS differentiable (custom_vjp with XLA
         # recompute backward) so deterministic fine-tuning works too.
-        if self.use_flash and not self.causal and deterministic:
+        flash_ok = self.use_flash and not self.causal and deterministic
+        if flash_ok and lengths is None and mask is not None:
+            if mask.shape[2] == 1:
+                # Recover lengths from a broadcastable key-padding mask.
+                lengths = mask[:, 0, 0, :].sum(axis=-1).astype(jnp.int32)
+            else:
+                # A full (B, ., T, T) mask carries structure the kernel
+                # cannot represent (only per-key padding): fall back to the
+                # exact XLA path rather than silently ignoring the mask.
+                flash_ok = False
+        if flash_ok:
             from avec_tpu.ops.pallas_attention import rel_pos_flash_attention
 
-            if lengths is None and mask is not None and mask.shape[2] == 1:
-                # Recover lengths from a key-padding mask.
-                lengths = mask[:, 0, 0, :].sum(axis=-1).astype(jnp.int32)
             o = rel_pos_flash_attention(
                 q, k, v, self.pos_kernel, self.pos_bias, self.dim_model,
                 self.num_heads, lengths=lengths)
@@ -432,9 +439,4 @@ def make_attention(dim_model: int, att_params: dict) -> nn.Module:
     (consumed at nnet/modules.py:312)."""
     cls = att_dict[att_params["class"]]
     params = dict(att_params.get("params", {}))
-    # The reference configs pass weight_init/bias_init="default" to mean the
-    # torch default; our Linear already defaults to that, but the reference
-    # attention default is "scaled_uniform" — so "default" must be forwarded.
-    if "num_pos_embeddings" in params:
-        params["num_pos_embeddings"] = params.pop("num_pos_embeddings")
     return cls(dim_model=dim_model, **params)

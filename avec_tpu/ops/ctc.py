@@ -22,6 +22,10 @@ alpha-beta posterior (custom_vjp): dNLL/dlog_p[t, v] =
 -sum_{s: ext[s]=v} exp(alpha_t[s] + beta_t[s] - log Z) — one forward scan
 plus one reverse scan instead of autodiff's transposed replay (measured
 cheaper on TPU: autodiff's scan transpose re-gathers per step).
+
+Constraint: custom_vjp makes the loss reverse-mode only — jax.jvp/
+jax.hessian through ctc_loss raise; training uses reverse-mode grad
+exclusively.
 """
 
 import functools

@@ -97,13 +97,41 @@ def host_local_batch_to_global(mesh: Mesh, batch: Any, batch_axis: int = 0) -> A
 
     Replaces DistributedSampler rank slicing (functions.py:115) at the array
     level.
+
+    A final eval batch whose per-host shard is not divisible by this host's
+    slice of the 'data' axis (eval uses drop_last=False, functions.py:151)
+    cannot be assembled with host_local_array_to_global_array; those leaves
+    are instead gathered across processes and replicated — the same
+    correctness-first fallback as the single-process path (shard_batch).
     """
     if jax.process_count() == 1:
         return shard_batch(mesh, batch, batch_axis)
     from jax.experimental import multihost_utils
 
-    spec = P(*([None] * batch_axis + ["data"]))
-    return multihost_utils.host_local_array_to_global_array(batch, mesh, spec)
+    ndata_local = max(
+        1, mesh.shape["data"] // max(1, jax.process_count()))
+
+    def divisible(x):
+        return (hasattr(x, "shape") and len(x.shape) > batch_axis
+                and x.shape[batch_axis] % ndata_local == 0)
+
+    flat = jax.tree.leaves(batch)
+    all_ok = all(divisible(x) for x in flat)
+    # Every process must take the same branch (collectives must match up);
+    # agree on the verdict first.
+    verdicts = process_allgather(bool(all_ok))
+    if all(verdicts):
+        spec = P(*([None] * batch_axis + ["data"]))
+        return multihost_utils.host_local_array_to_global_array(
+            batch, mesh, spec)
+
+    # Fallback: gather each host's shard, concatenate on the batch axis,
+    # replicate the global batch (rare: only the last partial eval batch).
+    host_np = jax.tree.map(np.asarray, batch)
+    shards = process_allgather(host_np)
+    global_batch = jax.tree.map(
+        lambda *xs: np.concatenate(xs, axis=batch_axis), *shards)
+    return replicate(mesh, global_batch)
 
 
 def param_shardings(mesh: Mesh, params: Any, rules) -> Any:
@@ -151,8 +179,9 @@ def shard_like_params(mesh: Mesh, state: Any, params: Any,
     """Place an optimizer-state pytree using the param shardings.
 
     optax moment trees mirror the params tree, so any state leaf whose path
-    ENDS WITH a param path (same shape) gets that param's sharding;
-    everything else (step counters, scalars) is replicated.
+    ENDS WITH a param path (same shape, anchored at a '/' path boundary so
+    'dense/kernel' cannot claim 'other_dense/kernel') gets that param's
+    sharding; everything else (step counters, scalars) is replicated.
     """
     from jax.tree_util import tree_flatten_with_path, tree_unflatten
 
@@ -171,7 +200,8 @@ def shard_like_params(mesh: Mesh, state: Any, params: Any,
         ps = pathstr(path)
         sharding = repl
         for suffix, shape, sh in by_suffix:
-            if ps.endswith(suffix) and getattr(leaf, "shape", None) == shape:
+            if ((ps == suffix or ps.endswith("/" + suffix))
+                    and getattr(leaf, "shape", None) == shape):
                 sharding = sh
                 break
         out.append(jax.device_put(leaf, sharding))

@@ -26,12 +26,6 @@ import time
 
 import numpy as np
 
-# Unroll the conformer nn.scan block runs at lowering time: +4.6% measured
-# throughput (120.7 vs 115.4 utt/s/chip at B=16) for a one-time longer
-# compile that the persistent cache amortizes. Must be set before the
-# package import.
-os.environ.setdefault("AVEC_TPU_UNROLL_BLOCKS", "1")
-
 BATCH = int(os.environ.get("BENCH_BATCH", 16))
 AUDIO_SECONDS = int(os.environ.get("BENCH_AUDIO_SECONDS", 6))
 AUDIO_LEN = AUDIO_SECONDS * 16000
@@ -49,6 +43,38 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
 
 
+def sync_value(out):
+    """Force real device completion by FETCHING a value from `out`.
+
+    Over the axon TPU tunnel jax.block_until_ready can acknowledge before
+    remote execution completes (verified: 50 chained 4096^3 matmuls "finish"
+    in 2 ms under block_until_ready but take ~75 ms when the result value is
+    fetched). Fetching a scalar forces a real device round-trip. Every timing
+    window in this file MUST end with this call — tests/test_driver_contract
+    guards the idiom against refactors.
+    """
+    import jax
+
+    leaf = jax.tree.leaves(out)[0]
+    return float(leaf[(0,) * leaf.ndim])
+
+
+def timed_windows(step_once, carry, windows, steps, work_per_step):
+    """Honest-throughput measurement: dispatch `steps` chained calls of
+    `step_once(carry) -> carry`, then sync_value(carry); median rate over
+    `windows` windows (the TPU tunnel adds jitter that a single short window
+    under/over-states by 15-20%)."""
+    rates = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            carry = step_once(carry)
+        sync_value(carry)
+        rates.append(work_per_step * steps / (time.perf_counter() - t0))
+    rates.sort()
+    return rates[len(rates) // 2], carry
+
+
 def make_batch(batch_size):
     video_len = AUDIO_LEN // 640 + 1
     rng = np.random.RandomState(0)
@@ -63,6 +89,13 @@ def make_batch(batch_size):
 
 def bench_jax():
     import jax
+
+    # Unroll the conformer nn.scan block runs at lowering time: +4.6%
+    # measured throughput (120.7 vs 115.4 utt/s/chip at B=16) for a one-time
+    # longer compile that the persistent cache amortizes. Set here (not at
+    # module scope: importing bench must not flip other code's models); the
+    # default is resolved at trace time (models/conformer.py).
+    os.environ.setdefault("AVEC_TPU_UNROLL_BLOCKS", "1")
 
     # Persistent compile cache: the AV train step is a large graph (~15-25 min
     # cold over the TPU tunnel); repeat bench runs must hit the cache.
@@ -113,53 +146,42 @@ def bench_jax():
             jax.block_until_ready(state["params"])
         print(f"profile trace written to {PROFILE_DIR}", file=sys.stderr)
 
-    # Synchronize each window with a VALUE FETCH, not block_until_ready: over
-    # the axon TPU tunnel block_until_ready can acknowledge before remote
-    # execution completes (verified: 50 chained 4096^3 matmuls "finish" in
-    # 2 ms under block_until_ready but take ~75 ms when the result value is
-    # fetched). Fetching a scalar forces a real device round-trip; STEPS=30
-    # amortizes that RTT to <1% of the window.
+    # Synchronize each window with a VALUE FETCH (sync_value), not
+    # block_until_ready — see sync_value's docstring. STEPS=30 amortizes the
+    # fetch RTT to <1% of the window.
     float(losses["loss"])  # drain the warmup queue for real
-    rates = []
-    for _ in range(WINDOWS):
-        t0 = time.perf_counter()
-        for i in range(STEPS):
-            state, (losses, _, _) = train_step(state, gbatch, rng)
-        float(losses["loss"])  # forces completion of the full step chain
-        rates.append(BATCH * STEPS / (time.perf_counter() - t0))
-    rates.sort()
-    utt_per_sec_total = rates[len(rates) // 2]  # median window
+
+    def train_once(c):
+        _, state = c
+        state, (losses, _, _) = train_step(state, gbatch, rng)
+        return (losses["loss"], state)  # loss first: sync_value fetches it
+
+    utt_per_sec_total, (final_loss, state) = timed_windows(
+        train_once, (losses["loss"], state), WINDOWS, STEPS, BATCH)
+    final_loss = float(final_loss)
 
     # Eval (forward-only) throughput -> real-time factor.
     fwd = jax.jit(lambda p, bs, inputs: model.apply_net(p, bs, inputs,
                                                         False, None)[0])
     ebatch = pmesh.host_local_batch_to_global(model.mesh, batch)
 
-    def _fetch_scalar(o):
-        leaf = jax.tree.leaves(o)[0]
-        return float(leaf[(0,) * leaf.ndim])  # tiny slice -> host round-trip
-
     out = fwd(state["params"], state["batch_stats"], ebatch["inputs"])
-    _fetch_scalar(out)
-    erates = []
-    for _ in range(WINDOWS):
-        t1 = time.perf_counter()
-        for _ in range(STEPS):
-            out = fwd(state["params"], state["batch_stats"], ebatch["inputs"])
-        _fetch_scalar(out)  # value fetch = real sync over the tunnel
-        erates.append(BATCH * STEPS / (time.perf_counter() - t1))
-    erates.sort()
+    sync_value(out)
+    eval_rate, _ = timed_windows(
+        lambda _: fwd(state["params"], state["batch_stats"],
+                      ebatch["inputs"]),
+        out, WINDOWS, STEPS, BATCH)
 
     n_chips = len(jax.devices())
     utt_per_sec = utt_per_sec_total / n_chips
-    eval_rtfx = erates[len(erates) // 2] * AUDIO_SECONDS / n_chips
+    eval_rtfx = eval_rate * AUDIO_SECONDS / n_chips
 
     mfu = None
     kind = jax.devices()[0].device_kind
     peak = next((v for k, v in PEAK_FLOPS.items() if kind.startswith(k)), None)
     if step_flops and peak:
         mfu = step_flops * (utt_per_sec_total / BATCH) / (n_chips * peak)
-    return utt_per_sec, eval_rtfx, float(losses["loss"]), mfu, step_flops
+    return utt_per_sec, eval_rtfx, final_loss, mfu, step_flops
 
 
 def bench_torch_cpu_baseline():

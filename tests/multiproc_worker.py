@@ -41,6 +41,33 @@ mean = jax.jit(lambda b: b["x"].mean())(gbatch)
 want = np.mean([float(p) for p in range(NUM_PROCESSES) for _ in range(4)])
 assert abs(float(mean) - want) < 1e-6, (float(mean), want)
 
+# --- indivisible final eval batch (drop_last=False) ---------------------
+# 3 rows per host is not divisible by the 2 local devices on the 'data'
+# axis: host_local_array_to_global_array can't assemble it, so the
+# gather-and-replicate fallback must kick in and still produce the global
+# batch (all hosts' rows concatenated).
+odd = np.arange(3, dtype=np.float32).reshape(3, 1) + 10.0 * PROCESS_ID
+godd = pmesh.host_local_batch_to_global(mesh, {"x": odd})
+assert godd["x"].shape[0] == 3 * NUM_PROCESSES, godd["x"].shape
+osum = jax.jit(lambda b: b["x"].sum())(godd)
+want_sum = sum(float(v) for p in range(NUM_PROCESSES)
+               for v in (np.arange(3) + 10.0 * p))
+assert abs(float(osum) - want_sum) < 1e-5, (float(osum), want_sum)
+
+# --- exact-WER recompute over gathered transcripts ----------------------
+from avec_tpu.utils.wer import wer  # noqa: E402
+
+local_truths = ["the cat sat", "on the mat"] if PROCESS_ID == 0 else \
+    ["a dog ran"]  # unequal counts: the partial-batch shape
+local_preds = ["the cat sat", "on a mat"] if PROCESS_ID == 0 else \
+    ["a dog run"]
+all_t = [s for part in pmesh.process_allgather(local_truths) for s in part]
+all_p = [s for part in pmesh.process_allgather(local_preds) for s in part]
+assert len(all_t) == len(all_p) == 3, (all_t, all_p)
+wer_global = wer(all_t, all_p)
+# 2 errors over 9 words, identically computed on every rank
+assert abs(wer_global - 2 / 9) < 1e-9, wer_global
+
 # --- string-list allgather (exact-WER recompute path) -------------------
 truths = [f"hello from rank {PROCESS_ID}", "x" * (PROCESS_ID + 1)]
 gathered = pmesh.process_allgather(truths)

@@ -25,6 +25,51 @@ def test_bench_batch_shapes():
     assert vlen.tolist() == [video.shape[1]] * 2
 
 
+def test_bench_timing_syncs_on_value_fetch():
+    """Guard the honest-timing idiom: the bench window must end with a VALUE
+    FETCH (sync_value), because block_until_ready does not wait for remote
+    completion over the TPU tunnel. A step result that completes lazily
+    (only when its value is read) must be charged to the timing window; a
+    regression to dispatch-rate timing would finish the window instantly
+    and this test would fail."""
+    import time
+
+    import bench
+
+    fetched = []
+
+    class LazyResult:
+        """Mimics an async device array: dispatch is instant, reading the
+        value takes 20 ms (the 'remote execution' cost)."""
+
+        ndim = 0
+
+        def __getitem__(self, idx):
+            time.sleep(0.02)
+            fetched.append(idx)
+            return 1.0
+
+    rate, last = bench.timed_windows(
+        lambda prev: LazyResult(), None, windows=2, steps=5, work_per_step=1)
+    assert fetched, "timing window never fetched a value from the result"
+    # 5 instant dispatches + one >=20ms fetch per window: rate <= 250/s.
+    # Dispatch-rate timing would report hundreds of thousands per second.
+    assert rate <= 5 / 0.02 + 1, rate
+    assert isinstance(last, LazyResult)
+
+
+def test_bench_import_has_no_env_side_effect():
+    """Importing bench must not mutate process-global model behavior
+    (ADVICE r2: AVEC_TPU_UNROLL_BLOCKS used to be set at import)."""
+    before = os.environ.get("AVEC_TPU_UNROLL_BLOCKS")
+    import importlib
+
+    import bench
+
+    importlib.reload(bench)
+    assert os.environ.get("AVEC_TPU_UNROLL_BLOCKS") == before
+
+
 @pytest.mark.slow
 def test_graft_entry_forward():
     import jax

@@ -59,6 +59,33 @@ def test_rel_pos_flash_matches_module():
     np.testing.assert_allclose(g[1, :30], w[1, :30], rtol=2e-3, atol=2e-3)
 
 
+def test_flash_full_mask_falls_back_to_xla():
+    """A full (B, 1, T, T) mask carries structure the flash kernel cannot
+    represent; use_flash must fall back to the exact XLA path (it used to
+    silently treat all keys as valid)."""
+    d_model, h, t = 32, 4, 40
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, t, d_model).astype(np.float32))
+    lengths = jnp.array([40, 24])
+    pad = padding_mask(lengths, t)  # (B, 1, 1, T)
+    # Band-limited full mask: +/-8 frames of context AND padding.
+    q_idx = jnp.arange(t)[:, None]
+    k_idx = jnp.arange(t)[None, :]
+    band = (jnp.abs(q_idx - k_idx) <= 8)[None, None]  # (1, 1, T, T)
+    full_mask = jnp.logical_and(band, pad)  # (B, 1, T, T)
+    assert full_mask.shape == (2, 1, t, t)
+
+    ref = RelPos1dMultiHeadAttention(dim_model=d_model, num_heads=h,
+                                     use_flash=False)
+    fl = RelPos1dMultiHeadAttention(dim_model=d_model, num_heads=h,
+                                    use_flash=True)
+    variables = ref.init({"params": jax.random.PRNGKey(0)}, x, full_mask)
+    want = ref.apply(variables, x, full_mask)
+    got = fl.apply(variables, x, full_mask)  # must NOT ignore the band
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_flash_trainable_grads_match_xla():
     """custom_vjp backward (XLA recompute) == grads of the pure XLA ref."""
     from avec_tpu.ops.pallas_attention import (
