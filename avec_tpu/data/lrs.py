@@ -410,7 +410,7 @@ class LRS(Dataset):
 
         from avec_tpu.data.lipcrop import landmarks_interpolate
 
-        if os.path.isfile(path + ".json"):
+        if os.path.isfile(path + ".json") or os.path.isfile(path + ".pt"):
             return
         frames, fps = media.read_video(path + ".mp4")
         # Audio extraction from mp4 needs ffmpeg; reference-prepared .flac or
@@ -419,7 +419,10 @@ class LRS(Dataset):
             audio = _load_audio_any(path)
         except FileNotFoundError:
             audio = self._extract_audio(path)
-        media.write_audio(path + ".wav", audio)
+        # Artifact-format parity with the reference prepare
+        # (nnet/datasets.py:532): audio is stored as FLAC (native encoder
+        # when soundfile is absent, utils/flac.py).
+        media.write_audio(path + ".flac", audio)
 
         # Landmark pickles are the primary crop route (datasets.py:534-543).
         pkl = path.replace(os.path.join(self.root, self.version),
@@ -445,8 +448,21 @@ class LRS(Dataset):
                  "video_len": int(crop.shape[0]),
                  "audio_len": int(audio.shape[0]),
                  "label_len": int(len(label))}
-        with open(path + ".json", "w") as f:
-            json.dump(infos, f)
+        # Infos round-trip with reference tooling: the reference stores a
+        # torch pickle (nnet/datasets.py:558 torch.save, LongTensor label)
+        # and loads it in __getitem__ (:341). Fall back to json when torch
+        # is unavailable; our reader accepts both.
+        try:
+            import torch
+
+            torch.save({"label": torch.tensor(infos["label"],
+                                              dtype=torch.long),
+                        "video_len": infos["video_len"],
+                        "audio_len": infos["audio_len"],
+                        "label_len": infos["label_len"]}, path + ".pt")
+        except ImportError:
+            with open(path + ".json", "w") as f:
+                json.dump(infos, f)
 
     def _extract_audio(self, path):
         import shutil

@@ -42,8 +42,48 @@ def read_video(path: str) -> Tuple[np.ndarray, float]:
     return np.stack(frames), fps
 
 
-def write_video(path: str, video: np.ndarray, fps: float = 25.0):
-    """Encode (T, H, W, 3|1) uint8 to mp4 (cv2-backed)."""
+_H264_FOURCC = None  # resolved on first write: fourcc str, or "" if none
+
+
+def _h264_fourcc(cv2, w, h, fps):
+    """Probe once for a working H.264 encoder (the reference writes h264
+    mouth crops, nnet/datasets.py:554). OpenCV builds with openh264/ffmpeg
+    accept 'avc1'/'H264'; builds without silently produce empty files, so
+    probe by writing a real frame to a temp file."""
+    global _H264_FOURCC
+    if _H264_FOURCC is not None:
+        return _H264_FOURCC
+    import os
+    import tempfile
+
+    for code in ("avc1", "H264", "X264"):
+        fd, tmp = tempfile.mkstemp(suffix=".mp4")
+        os.close(fd)
+        try:
+            wr = cv2.VideoWriter(tmp, cv2.VideoWriter_fourcc(*code),
+                                 25.0, (32, 32))
+            ok = wr.isOpened()
+            if ok:
+                wr.write(np.zeros((32, 32, 3), np.uint8))
+            wr.release()
+            if ok and os.path.getsize(tmp) > 0:
+                _H264_FOURCC = code
+                return code
+        except Exception:
+            pass
+        finally:
+            os.unlink(tmp)
+    _H264_FOURCC = ""
+    return ""
+
+
+def write_video(path: str, video: np.ndarray, fps: float = 25.0,
+                codec: str = "h264"):
+    """Encode (T, H, W, 3|1) uint8 to mp4 (cv2-backed).
+
+    codec="h264" uses an H.264 encoder when the OpenCV build has one
+    (reference-artifact parity); falls back to mp4v otherwise.
+    """
     import cv2
 
     if video.ndim == 3:
@@ -51,8 +91,9 @@ def write_video(path: str, video: np.ndarray, fps: float = 25.0):
     if video.shape[-1] == 1:
         video = np.repeat(video, 3, axis=-1)
     t, h, w, _ = video.shape
-    fourcc = cv2.VideoWriter_fourcc(*"mp4v")
-    writer = cv2.VideoWriter(path, fourcc, fps, (w, h))
+    code = (_h264_fourcc(cv2, w, h, fps) or "mp4v") if codec == "h264" \
+        else codec
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*code), fps, (w, h))
     for frame in video:
         writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
     writer.release()
@@ -86,13 +127,33 @@ def read_audio(path: str) -> Tuple[np.ndarray, int]:
         if audio.ndim > 1:
             audio = audio[:, 0]
         return audio, sr
-    except ImportError as e:
-        raise ImportError(
-            f"cannot read {path}: non-wav audio requires soundfile") from e
+    except ImportError:
+        pass
+    if path.endswith(".flac"):
+        # Native decoder (utils/flac.py): reads reference-prepared artifacts
+        # (libFLAC LPC/fixed/constant subframes) without soundfile.
+        from avec_tpu.utils.flac import read_flac
+
+        return read_flac(path)
+    raise ImportError(f"cannot read {path}: non-wav/flac audio requires "
+                      "soundfile")
 
 
 def write_audio(path: str, audio: np.ndarray, sample_rate: int = 16000):
-    """Write mono float32 [-1, 1] audio as 16-bit PCM wav."""
+    """Write mono float32 [-1, 1] audio: 16-bit PCM wav, or FLAC when the
+    path ends in .flac (reference-artifact parity, nnet/datasets.py:532;
+    soundfile when installed, else the native encoder in utils/flac.py)."""
+    if path.endswith(".flac"):
+        try:
+            import soundfile as sf
+
+            sf.write(path, np.asarray(audio, np.float32), sample_rate)
+            return
+        except ImportError:
+            from avec_tpu.utils.flac import write_flac
+
+            write_flac(path, audio, sample_rate)
+            return
     pcm = np.clip(audio * 32768.0, -32768, 32767).astype(np.int16)
     with wave.open(path, "wb") as f:
         f.setnchannels(1)
