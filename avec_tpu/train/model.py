@@ -659,8 +659,16 @@ class Model:
         return results
 
     def evaluate(self, dataset_eval, eval_steps=None, verbose=0,
-                 recompute_metrics=False, use_ema=False):
-        """ref: nnet/model.py:867-942."""
+                 recompute_metrics=False, use_ema=False,
+                 return_transcripts=False):
+        """ref: nnet/model.py:867-942.
+
+        return_transcripts=True additionally returns the gathered
+        {metric_key: (truths, preds)} string lists (the material of the
+        exact-WER recompute) as a third element — used by eval tooling and
+        the transcript-parity tests; the reference keeps these internal
+        (gather_truths_preds, nnet/model.py:645-666).
+        """
         if not self.built:
             batch = next(iter(dataset_eval))
             self.build(batch["inputs"])
@@ -693,7 +701,7 @@ class Model:
                                                 verbose)
             for k, (truths, preds, val) in host_batch.items():
                 epoch_metrics[k] = epoch_metrics.get(k, 0.0) + val
-                if recompute_metrics:
+                if recompute_metrics or return_transcripts:
                     epoch_truths.setdefault(k, []).extend(truths)
                     epoch_preds.setdefault(k, []).extend(preds)
 
@@ -715,6 +723,10 @@ class Model:
                     epoch_metrics[k] = epoch_metrics[k] / denom
         else:
             epoch_metrics = {k: v / denom for k, v in epoch_metrics.items()}
+        if return_transcripts:
+            transcripts = {k: (epoch_truths.get(k, []), epoch_preds.get(k, []))
+                           for k in set(epoch_truths) | set(epoch_preds)}
+            return epoch_losses, epoch_metrics, transcripts
         return epoch_losses, epoch_metrics
 
     def _host_metric_pass(self, decode_pre, host_targets, verbose=0):

@@ -130,7 +130,35 @@ def _install_misc_stubs():
             sys.modules["torchvision.datasets"] = tv.datasets
             sys.modules["torchvision.datasets.utils"] = tv_utils
             sys.modules["torchvision.io"] = tv.io
-    for name in ("jiwer", "sentencepiece", "gdown", "requests", "tqdm"):
+    if "sentencepiece" not in sys.modules:
+        try:
+            import sentencepiece  # noqa: F401
+        except ImportError:
+            # Functional stub backed by our native ModelProto parser
+            # (utils/spm_model.py): the reference's decoders
+            # (nnet/decoders.py:83,138) run for real, enabling
+            # transcript-level pipeline parity tests.
+            sp = types.ModuleType("sentencepiece")
+
+            class SentencePieceProcessor:
+                def __init__(self, model_file=None, *a, **k):
+                    from avec_tpu.utils.spm_model import SentencePieceModel
+
+                    path = model_file or (a[0] if a else k.get("model_path"))
+                    self._m = SentencePieceModel.from_file(path)
+
+                def vocab_size(self):
+                    return self._m.vocab_size()
+
+                def encode(self, text, *a, **k):
+                    return self._m.encode(text)
+
+                def decode(self, ids, *a, **k):
+                    return self._m.decode(ids)
+
+            sp.SentencePieceProcessor = SentencePieceProcessor
+            sys.modules["sentencepiece"] = sp
+    for name in ("jiwer", "gdown", "requests", "tqdm"):
         if name not in sys.modules:
             try:
                 __import__(name)
