@@ -21,14 +21,106 @@ Masks are built once from lengths and re-strided per stage.
 
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
+import numpy as np
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
 from avec_tpu.models.conformer import ConformerInterCTC, ConvNeuralNetwork, FusionModule
 from avec_tpu.models.resnet import ResNet
 from avec_tpu.ops.audio import AudioPreprocessing, SpecAugment
-from avec_tpu.ops.layers import Linear, max_pool
+from avec_tpu.ops.inits import get_init, torch_default_bias
+from avec_tpu.ops.layers import Linear, conv_padding, max_pool, _polyphase_fold
 from avec_tpu.ops.masks import make_mask
+
+
+def _fused_stem_auto() -> bool:
+    """Fused Pallas stem default: on for a single TPU device (the
+    pallas_calls carry no partitioning rule yet, so multi-device meshes
+    keep the XLA polyphase path)."""
+    try:
+        devs = jax.devices()
+        return len(devs) == 1 and "tpu" in devs[0].device_kind.lower()
+    except Exception:
+        return False
+
+
+class _StemConvParams(nn.Module):
+    """Parameter container matching ops.layers.Conv's declarations for the
+    stem conv (kernel (5,7,7,1,64) torch-default init, bias fan_in=245)."""
+
+    @nn.compact
+    def __call__(self):
+        ks = (5, 7, 7)
+        kernel = self.param("kernel", get_init("default"), ks + (1, 64))
+        bias = self.param("bias", torch_default_bias(int(np.prod(ks))),
+                          (64,))
+        return kernel, bias
+
+
+class _StemBNParams(nn.Module):
+    """Parameter/stat container matching ops.layers.BatchNorm."""
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (64,))
+        bias = self.param("bias", nn.initializers.zeros, (64,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((64,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((64,), jnp.float32))
+        return scale, bias, ra_mean, ra_var
+
+
+class FusedVideoStem(nn.Module):
+    """Drop-in stem (Conv3d 1->64 + BN + ReLU + MaxPool) backed by the
+    fused Pallas kernels (ops/pallas_stem.py).
+
+    Declares parameters under the SAME names/shapes as the
+    ConvNeuralNetwork + BatchNorm path (conv_0/{kernel,bias},
+    BatchNorm_0/{scale,bias} + batch_stats mean/var), so checkpoints and
+    the torch converter are unaffected by the compute path.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    interpret: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        from avec_tpu.ops import pallas_stem as ps
+
+        ks, strides = (5, 7, 7), (1, 2, 2)
+        kernel, bias = _StemConvParams(name="conv_0")()
+        scale, bn_bias, ra_mean, ra_var = _StemBNParams(name="BatchNorm_0")()
+
+        b, t = x.shape[0], x.shape[1]
+        pads = conv_padding(ks, "same")
+        xp, kp, _ = _polyphase_fold(x, kernel.astype(x.dtype), ks, strides,
+                                    pads)
+        kp2 = kp.reshape(-1, 64)
+        # Pad the folded time axis so Tp is a block multiple (masked in the
+        # kernels; outputs are cropped back to t below).
+        tb = 4
+        tp = -(-t // tb) * tb
+        if tp > t:
+            xp = jnp.pad(xp, ((0, 0), (0, tp - t), (0, 0), (0, 0), (0, 0)))
+
+        if deterministic or self.is_initializing():
+            pooled = ps.fused_stem_eval(
+                xp, kp2, bias, scale, bn_bias, ra_mean.value, ra_var.value,
+                t, self.epsilon, interpret=self.interpret)
+        else:
+            pooled, bmean, bvar = ps.fused_stem_train(
+                xp, kp2, bias, scale, bn_bias, t, self.epsilon,
+                self.interpret)
+            n = b * t * 44 * 44
+            unbiased = bvar * (n / max(n - 1, 1))
+            ra_mean.value = (self.momentum * ra_mean.value
+                             + (1 - self.momentum) * bmean)
+            ra_var.value = (self.momentum * ra_var.value
+                            + (1 - self.momentum) * unbiased)
+        return pooled[:, :t]
 
 
 def _att_params_audio(att_type: str, num_heads: int, attn_drop_rate: float,
@@ -141,6 +233,11 @@ class VisualEfficientConformerEncoder(nn.Module):
     num_blocks: Sequence[int] = (6, 6)
     loss_prefix: str = "ctc"
     remat: bool = False
+    # Fused Pallas stem (conv+BN+ReLU+pool in two kernels): None = auto
+    # (single TPU device). stem_interpret runs the kernels in interpreter
+    # mode (CPU tests).
+    fused_stem: Optional[bool] = None
+    stem_interpret: bool = False
 
     @nn.compact
     def __call__(self, x, lengths, training: bool = False):
@@ -151,20 +248,32 @@ class VisualEfficientConformerEncoder(nn.Module):
 
         b, t = x.shape[0], x.shape[1]
 
-        # Stem: (B, T, H, W, 1) -> (B, T, H/2, W/2, 64); 88 -> 44.
-        # polyphase: the 1->64ch stride-2 conv3d lowers via space-to-depth
-        # (9x faster on the MXU, see ops/layers._polyphase_conv); params and
-        # outputs are identical to the direct conv.
-        x = ConvNeuralNetwork(
-            dim_layers=64, kernel_size=(5, 7, 7), strides=(1, 2, 2),
-            norm="BatchNorm3d", act_fun="ReLU", ndim=3, polyphase=True,
-            name="front_end_stem")(x, deterministic=not training)
-        # MaxPool3d k(1,3,3) s(1,2,2) "same": 44 -> 22. The time kernel is 1,
-        # so flatten (B, T) first and pool in 2-D — same math, and XLA picks
-        # a sane NHWC layout instead of a transposed 5-D one.
-        _, _, h, w, c = x.shape
-        x = x.reshape(b * t, h, w, c)
-        x = max_pool(x, (3, 3), (2, 2), padding="same")
+        use_fused = (self.fused_stem if self.fused_stem is not None
+                     else _fused_stem_auto())
+        if use_fused and tuple(x.shape[2:]) == (88, 88, 1):
+            # Fused Pallas stem: conv+stats then BN-apply+ReLU+pool
+            # (ops/pallas_stem.py); same params, same math, ~5x fewer
+            # activation passes than the unfused lowering.
+            x = FusedVideoStem(name="front_end_stem",
+                               interpret=self.stem_interpret)(
+                                   x, deterministic=not training)
+            x = x.reshape(b * t, 22, 22, 64)
+        else:
+            # Stem: (B, T, H, W, 1) -> (B, T, H/2, W/2, 64); 88 -> 44.
+            # polyphase: the 1->64ch stride-2 conv3d lowers via
+            # space-to-depth (9x faster on the MXU, see
+            # ops/layers._polyphase_conv); params and outputs are identical
+            # to the direct conv.
+            x = ConvNeuralNetwork(
+                dim_layers=64, kernel_size=(5, 7, 7), strides=(1, 2, 2),
+                norm="BatchNorm3d", act_fun="ReLU", ndim=3, polyphase=True,
+                name="front_end_stem")(x, deterministic=not training)
+            # MaxPool3d k(1,3,3) s(1,2,2) "same": 44 -> 22. The time kernel
+            # is 1, so flatten (B, T) first and pool in 2-D — same math, and
+            # XLA picks a sane NHWC layout instead of a transposed 5-D one.
+            _, _, h, w, c = x.shape
+            x = x.reshape(b * t, h, w, c)
+            x = max_pool(x, (3, 3), (2, 2), padding="same")
 
         # Per-frame ResNet18 (no stem): (B*T, H, W, 64) -> (B*T, 256).
         x = ResNet(model="ResNet18", include_stem=False,

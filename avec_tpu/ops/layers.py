@@ -92,21 +92,11 @@ class Linear(nn.Module):
         return y
 
 
-def _polyphase_conv(x, kernel, ks, strides, pads, unroll_taps=False):
-    """Stride-2 conv with few input channels as a space-to-depth conv.
-
-    A conv like the AVEC video stem (Conv3d 1->64, k=(5,7,7), s=(1,2,2),
-    ref nnet/networks.py:459-473) maps terribly onto the MXU: the
-    contraction dim per output is C_in*prod(k) with C_in=1 and XLA's
-    conv emitters fall off a cliff (measured 177 ms fwd+bwd for the stem at
-    B=16 on a v5e). Folding each stride-2 spatial axis into the channel dim
-    (polyphase decomposition: out[h] = sum_{t,ph} k[2t+ph] * x_phase_ph[h+t])
-    turns it into a stride-1 conv with 4x the input channels and ~half-width
-    kernels — mathematically identical, 9x faster measured.
-
-    Applies to axes with stride 2 and odd kernel > 1; returns None when no
-    axis qualifies (caller falls back to the direct conv).
-    """
+def _polyphase_fold(x, kernel, ks, strides, pads):
+    """Space-to-depth fold shared by the XLA polyphase conv and the Pallas
+    fused stem: returns (xp, kp, out_strides) — a stride-1 VALID conv
+    xp * kp equals the original strided conv — or None when no axis
+    qualifies (stride 2, odd kernel > 1)."""
     n = len(ks)
     split = [i for i in range(n)
              if strides[i] == 2 and ks[i] % 2 == 1 and ks[i] > 1]
@@ -166,12 +156,39 @@ def _polyphase_conv(x, kernel, ks, strides, pads, unroll_taps=False):
     kp = kp.transpose(kperm + kphase + [pos, pos + 1])
     kp = kp.reshape(kp.shape[:n] + (-1, kernel.shape[-1]))
 
+    out_strides = tuple(1 if i in split else strides[i] for i in range(n))
+    return xp, kp, out_strides
+
+
+def _polyphase_conv(x, kernel, ks, strides, pads, unroll_taps=False):
+    """Stride-2 conv with few input channels as a space-to-depth conv.
+
+    A conv like the AVEC video stem (Conv3d 1->64, k=(5,7,7), s=(1,2,2),
+    ref nnet/networks.py:459-473) maps terribly onto the MXU: the
+    contraction dim per output is C_in*prod(k) with C_in=1 and XLA's
+    conv emitters fall off a cliff (measured 177 ms fwd+bwd for the stem at
+    B=16 on a v5e). Folding each stride-2 spatial axis into the channel dim
+    (polyphase decomposition: out[h] = sum_{t,ph} k[2t+ph] * x_phase_ph[h+t])
+    turns it into a stride-1 conv with 4x the input channels and ~half-width
+    kernels — mathematically identical, 9x faster measured.
+
+    Applies to axes with stride 2 and odd kernel > 1; returns None when no
+    axis qualifies (caller falls back to the direct conv).
+    """
+    n = len(ks)
+    folded = _polyphase_fold(x, kernel, ks, strides, pads)
+    if folded is None:
+        return None
+    xp, kp, out_strides = folded
+
     if unroll_taps:
         # Also fold stride-1 tap axes (e.g. the stem's kT=5 time axis) into
         # channels: XLA's weight-gradient conv for a (5,4,4)-tap kernel is
         # far slower than for a (1,4,4) one (measured 10x on v5e). Each tap
         # becomes a shifted slice concatenated channel-major; the kernel
         # axis moves next to C_in in the same tap-major order.
+        split = [i for i in range(n)
+                 if strides[i] == 2 and ks[i] % 2 == 1 and ks[i] > 1]
         for i in range(n):
             if i in split or ks[i] <= 1 or strides[i] != 1:
                 continue
@@ -195,7 +212,6 @@ def _polyphase_conv(x, kernel, ks, strides, pads, unroll_taps=False):
         xp.shape, kp.shape,
         ("NHWC"[:1] + "DHW"[3 - n:] + "C", "DHW"[3 - n:] + "IO",
          "NHWC"[:1] + "DHW"[3 - n:] + "C"))
-    out_strides = tuple(1 if i in split else strides[i] for i in range(n))
     return lax.conv_general_dilated(
         xp, kp, window_strides=out_strides,
         padding=((0, 0),) * n, dimension_numbers=dn,
