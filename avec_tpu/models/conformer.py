@@ -137,9 +137,13 @@ class ConvolutionModule(nn.Module):
                               padding=(self.kernel_size - 1) // 2,
                               output_padding=max(self.stride - 1, 0))(x)
         else:
+            # bias_stop_gradient: training-mode BN follows, so the bias
+            # gradient is exactly zero (see ops/layers.Conv).
             x = Conv(self.dim_expand, kernel_size=self.kernel_size, ndim=1,
                      strides=self.stride, padding=self.padding,
-                     groups=self.dim_expand)(x)
+                     groups=self.dim_expand,
+                     bias_stop_gradient=(self.batch_norm
+                                         and not deterministic))(x)
         if self.batch_norm:
             x = BatchNorm()(x, use_running_average=deterministic)
         else:
@@ -494,12 +498,18 @@ class ConvNeuralNetwork(nn.Module):
             ks = (self.kernel_size[i] if isinstance(self.kernel_size, list)
                   else self.kernel_size)
             st = self.strides[i] if isinstance(self.strides, list) else self.strides
+            norm_cls = (norm_dict[self.norm] if isinstance(self.norm, str)
+                        else self.norm)
+            # Training-mode BN right after the conv makes the conv bias
+            # gradient exactly zero (BN subtracts the batch mean); detach
+            # it so autodiff skips the full-activation reduction.
+            bias_sg = norm_cls is BatchNorm and not deterministic
             x = Conv(dim, kernel_size=ks, ndim=self.ndim, strides=st,
                      padding=self.padding, weight_init=self.weight_init,
                      bias_init=self.bias_init, polyphase=self.polyphase,
+                     bias_stop_gradient=bias_sg,
                      name=f"conv_{i}")(x)
             if self.norm is not None:
-                norm_cls = norm_dict[self.norm] if isinstance(self.norm, str) else self.norm
                 if norm_cls is BatchNorm:
                     x = norm_cls()(x, use_running_average=deterministic)
                 else:

@@ -19,11 +19,13 @@ Layouts are channels-last: audio (B, Ta) raw waveform; video
 Masks are built once from lengths and re-strided per stage.
 """
 
+import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 import flax.linen as nn
 
 from avec_tpu.models.conformer import ConformerInterCTC, ConvNeuralNetwork, FusionModule
@@ -34,15 +36,17 @@ from avec_tpu.ops.layers import Linear, conv_padding, max_pool, _polyphase_fold
 from avec_tpu.ops.masks import make_mask
 
 
-def _fused_stem_auto() -> bool:
-    """Fused Pallas stem default: on for a single TPU device (the
-    pallas_calls carry no partitioning rule yet, so multi-device meshes
-    keep the XLA polyphase path)."""
-    try:
-        devs = jax.devices()
-        return len(devs) == 1 and "tpu" in devs[0].device_kind.lower()
-    except Exception:
-        return False
+def _stem_mode() -> str:
+    """Video-stem implementation selector (AVEC_TPU_STEM env override).
+
+    "2d" (pure XLA, dt-unrolled conv + flattened frames) / "pallas" /
+    "5d" (the original ConvNeuralNetwork path). Measured on v5e at B=16:
+    the Pallas variant wins standalone (1.10x the isolated stem) but
+    loses in-model (127.1 vs 132.2 utt/s/chip) — the custom_vjp boundary
+    blocks fusions worth more than the kernel saves. The 2-D path is the
+    default: it removes the (B,T)-merge relayout copies the 5-D conv
+    emitter forces (7.5 ms/step)."""
+    return os.environ.get("AVEC_TPU_STEM", "2d")
 
 
 class _StemConvParams(nn.Module):
@@ -73,23 +77,33 @@ class _StemBNParams(nn.Module):
 
 
 class FusedVideoStem(nn.Module):
-    """Drop-in stem (Conv3d 1->64 + BN + ReLU + MaxPool) backed by the
-    fused Pallas kernels (ops/pallas_stem.py).
+    """Drop-in stem (Conv3d 1->64 + BN + ReLU + MaxPool), restructured for
+    TPU layouts. Returns frames FLATTENED: (B*T, 22, 22, 64).
 
     Declares parameters under the SAME names/shapes as the
     ConvNeuralNetwork + BatchNorm path (conv_0/{kernel,bias},
     BatchNorm_0/{scale,bias} + batch_stats mean/var), so checkpoints and
     the torch converter are unaffected by the compute path.
+
+    Two implementations:
+      * default (pure XLA "2-D" path): the time taps of the polyphase-
+        folded conv are unrolled into channels, every frame-tensor from
+        the conv onward is 4-D (B*T leading), and BN/ReLU/pool run on
+        flattened frames. The 5-D path's conv emitter pins batch into
+        sublanes, forcing a 599 MB relayout copy + reshape (7.5 ms/step at
+        B=16) just to merge (B, T) afterwards — all-4-D removes the merge.
+      * use_pallas=True: Pallas fused BN+ReLU+pool kernels
+        (ops/pallas_stem.py) — wins standalone, loses in-model (see
+        _fused_stem_auto); kept for standalone front-end serving.
     """
 
     momentum: float = 0.9
     epsilon: float = 1e-5
+    use_pallas: bool = False
     interpret: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        from avec_tpu.ops import pallas_stem as ps
-
         ks, strides = (5, 7, 7), (1, 2, 2)
         kernel, bias = _StemConvParams(name="conv_0")()
         scale, bn_bias, ra_mean, ra_var = _StemBNParams(name="BatchNorm_0")()
@@ -98,6 +112,49 @@ class FusedVideoStem(nn.Module):
         pads = conv_padding(ks, "same")
         xp, kp, _ = _polyphase_fold(x, kernel.astype(x.dtype), ks, strides,
                                     pads)
+        if self.use_pallas:
+            return self._pallas_path(xp, kp, bias, scale, bn_bias, ra_mean,
+                                     ra_var, b, t, deterministic)
+
+        # dt-unrolled 2-D conv on flattened frames: channel index = dt*4+c.
+        kt = kp.shape[0]
+        xs = jnp.concatenate([xp[:, dt: dt + t] for dt in range(kt)],
+                             axis=-1)                     # (B, T, 47, 47, 20)
+        xs = xs.reshape((b * t,) + xs.shape[2:])
+        k2d = kp.transpose(1, 2, 0, 3, 4)                 # (4, 4, kt, 4, 64)
+        k2d = k2d.reshape(k2d.shape[0], k2d.shape[1], -1, k2d.shape[-1])
+        dn = lax.conv_dimension_numbers(xs.shape, k2d.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+        y = lax.conv_general_dilated(
+            xs, k2d, window_strides=(1, 1), padding=((0, 0),) * 2,
+            dimension_numbers=dn, preferred_element_type=xs.dtype)
+        bias_v = (lax.stop_gradient(bias) if not deterministic else bias)
+        y = y + bias_v.astype(y.dtype)                    # (B*T, 44, 44, 64)
+
+        # Same single-pass BN formulation as ops.layers.BatchNorm, against
+        # the container's variables.
+        if deterministic or self.is_initializing():
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            yf = y.astype(jnp.float32)
+            mean = yf.mean(axis=(0, 1, 2))
+            var = jnp.maximum((yf * yf).mean(axis=(0, 1, 2)) - mean * mean,
+                              0.0)
+            n = y.shape[0] * 44 * 44
+            unbiased = var * (n / max(n - 1, 1))
+            ra_mean.value = (self.momentum * ra_mean.value
+                             + (1 - self.momentum) * mean)
+            ra_var.value = (self.momentum * ra_var.value
+                            + (1 - self.momentum) * unbiased)
+        yn = ((y.astype(jnp.float32) - mean) * lax.rsqrt(var + self.epsilon)
+              * scale + bn_bias).astype(y.dtype)
+        z = jnp.maximum(yn, 0)
+        return max_pool(z, (3, 3), (2, 2), padding="same")
+
+    def _pallas_path(self, xp, kp, bias, scale, bn_bias, ra_mean, ra_var,
+                     b, t, deterministic):
+        from avec_tpu.ops import pallas_stem as ps
+
         kp2 = kp.reshape(-1, 64)
         # Pad the folded time axis so Tp is a block multiple (masked in the
         # kernels; outputs are cropped back to t below).
@@ -120,15 +177,22 @@ class FusedVideoStem(nn.Module):
                              + (1 - self.momentum) * bmean)
             ra_var.value = (self.momentum * ra_var.value
                             + (1 - self.momentum) * unbiased)
-        return pooled[:, :t]
+        pooled = pooled[:, :t]
+        return pooled.reshape((b * t,) + pooled.shape[2:])
 
 
 def _att_params_audio(att_type: str, num_heads: int, attn_drop_rate: float,
-                      max_pos_encoding: int, causal: bool) -> List[Dict]:
-    """Per-stage attention specs (ref: networks.py:385-397)."""
+                      max_pos_encoding: int, causal: bool,
+                      use_flash: bool = False) -> List[Dict]:
+    """Per-stage attention specs (ref: networks.py:385-397).
+
+    use_flash routes the RelPos1d layers through the Pallas flash kernel
+    (ops/pallas_attention.py) — the long-sequence training path (16 s
+    utterances at the 50 Hz stage, T ~ 800)."""
     regular = {"class": "RelPos1dMultiHeadAttention",
                "params": {"num_heads": num_heads, "attn_drop_rate": attn_drop_rate,
                           "num_pos_embeddings": max_pos_encoding,
+                          "use_flash": use_flash,
                           "weight_init": "default", "bias_init": "default"}}
     if att_type == "regular":
         return [regular, regular, regular]
@@ -165,6 +229,9 @@ class AudioEfficientConformerEncoder(nn.Module):
     num_blocks: Sequence[int] = (5, 6, 5)
     loss_prefix: str = "ctc"
     remat: bool = False
+    # Pallas flash attention for the RelPos1d layers (long-sequence
+    # training: no (T, T) HBM tensor forward or backward).
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, lengths, training: bool = False):
@@ -207,7 +274,8 @@ class AudioEfficientConformerEncoder(nn.Module):
             interctc_blocks=list(self.interctc_blocks),
             vocab_size=self.vocab_size,
             att_params=_att_params_audio(self.att_type, num_heads,
-                                         attn_drop_rate, max_pos_encoding, causal),
+                                         attn_drop_rate, max_pos_encoding,
+                                         causal, use_flash=self.use_flash),
             kernel_size=kernel_size, ff_ratio=4, drop_rate=drop_rate,
             conv_stride=2, batch_norm=True, loss_prefix=self.loss_prefix,
             remat=self.remat,
@@ -233,10 +301,10 @@ class VisualEfficientConformerEncoder(nn.Module):
     num_blocks: Sequence[int] = (6, 6)
     loss_prefix: str = "ctc"
     remat: bool = False
-    # Fused Pallas stem (conv+BN+ReLU+pool in two kernels): None = auto
-    # (single TPU device). stem_interpret runs the kernels in interpreter
-    # mode (CPU tests).
-    fused_stem: Optional[bool] = None
+    # Video-stem implementation: "2d" (default, see _stem_mode), "pallas",
+    # or "5d"; None = AVEC_TPU_STEM env / default. stem_interpret runs the
+    # Pallas kernels in interpreter mode (CPU tests).
+    stem_mode: Optional[str] = None
     stem_interpret: bool = False
 
     @nn.compact
@@ -248,16 +316,14 @@ class VisualEfficientConformerEncoder(nn.Module):
 
         b, t = x.shape[0], x.shape[1]
 
-        use_fused = (self.fused_stem if self.fused_stem is not None
-                     else _fused_stem_auto())
-        if use_fused and tuple(x.shape[2:]) == (88, 88, 1):
-            # Fused Pallas stem: conv+stats then BN-apply+ReLU+pool
-            # (ops/pallas_stem.py); same params, same math, ~5x fewer
-            # activation passes than the unfused lowering.
+        mode = self.stem_mode if self.stem_mode is not None else _stem_mode()
+        if mode in ("2d", "pallas") and tuple(x.shape[2:]) == (88, 88, 1):
+            # Layout-restructured stem (same params/math as the 5-D path,
+            # see FusedVideoStem): returns flattened (B*T, 22, 22, 64).
             x = FusedVideoStem(name="front_end_stem",
+                               use_pallas=(mode == "pallas"),
                                interpret=self.stem_interpret)(
                                    x, deterministic=not training)
-            x = x.reshape(b * t, 22, 22, 64)
         else:
             # Stem: (B, T, H, W, 1) -> (B, T, H/2, W/2, 64); 88 -> 44.
             # polyphase: the 1->64ch stride-2 conv3d lowers via

@@ -83,12 +83,14 @@ class _AudioInterCTCNet(nn.Module):
     vocab_size: int = 256
     att_type: str = "patch"
     interctc_blocks: Sequence[int] = (3, 6, 10, 13)
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, audio, audio_len, training: bool = False):
         x, lengths, inter = AudioEfficientConformerEncoder(
             vocab_size=self.vocab_size, att_type=self.att_type,
             interctc_blocks=list(self.interctc_blocks),
+            use_flash=self.use_flash,
             name="encoder")(audio, audio_len, training=training)
         outputs = {"outputs": [x, lengths]}
         outputs.update(inter)
@@ -99,10 +101,12 @@ class AudioEfficientConformerInterCTC(Model):
     """ref: models_zoo.py:64-97."""
 
     def __init__(self, vocab_size: int = 256, att_type: str = "patch",
-                 interctc_blocks: Sequence[int] = (3, 6, 10, 13)):
+                 interctc_blocks: Sequence[int] = (3, 6, 10, 13),
+                 use_flash: bool = False):
         super().__init__(name="Audio Efficient Conformer Inter CTC")
         self.net = _AudioInterCTCNet(vocab_size=vocab_size, att_type=att_type,
-                                     interctc_blocks=tuple(interctc_blocks))
+                                     interctc_blocks=tuple(interctc_blocks),
+                                     use_flash=use_flash)
 
     def compile(self, losses=None,
                 loss_weights=(0.5 / 4, 0.5 / 4, 0.5 / 4, 0.5 / 4, 0.5),

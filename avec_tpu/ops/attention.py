@@ -228,10 +228,12 @@ class RelPos1dMultiHeadAttention(MultiHeadAttention):
         q = _split_heads(self.query_layer(q_in), self.num_heads, self.dim_head)
         k = _split_heads(self.key_layer(k_in), self.num_heads, self.dim_head)
         v = _split_heads(self.value_layer(v_in), self.num_heads, self.dim_head)
-        # Flash path is gated to deterministic (no attention-weight dropout
-        # inside the kernel); it IS differentiable (custom_vjp with XLA
-        # recompute backward) so deterministic fine-tuning works too.
-        flash_ok = self.use_flash and not self.causal and deterministic
+        # Flash path: fully differentiable (custom_vjp with a Pallas flash
+        # backward), so training uses it too — gated only on attention-
+        # weight dropout being off (the kernel has no dropout; every AVEC
+        # config uses attn_drop_rate=0.0, nnet/networks.py:321,448,523).
+        flash_ok = (self.use_flash and not self.causal
+                    and (deterministic or self.attn_drop_rate == 0.0))
         if flash_ok and lengths is None and mask is not None:
             if mask.shape[2] == 1:
                 # Recover lengths from a broadcastable key-padding mask.

@@ -61,9 +61,14 @@ def _ctc_topology(log_probs, labels, label_lengths, blank):
     ext_m2 = jnp.pad(ext, ((0, 0), (2, 0)), constant_values=blank)[:, :s]
     can_skip = (pos >= 2) & (ext != blank) & (ext != ext_m2)
 
-    # Per-frame log prob of each extended label: (B, T, S) gather.
-    lp_ext = jnp.take_along_axis(
-        log_probs, ext[:, None, :].astype(jnp.int32).repeat(t, axis=1), axis=2)
+    # Per-frame log prob of each extended label, (B, T, S). A one-hot
+    # batched matmul instead of take_along_axis: TPU gathers of a
+    # (B, T, S) index tensor cost ~2 ms/step at the bench shapes while the
+    # MXU einsum is ~free (B*T*V*S ~ 40 MFLOP), and its transpose (the
+    # scatter in the backward) is again a matmul.
+    onehot = jax.nn.one_hot(ext.astype(jnp.int32), log_probs.shape[-1],
+                            dtype=log_probs.dtype)          # (B, S, V)
+    lp_ext = jnp.einsum("btv,bsv->bts", log_probs, onehot)
     return ext, pos, valid_s, can_skip, lp_ext
 
 

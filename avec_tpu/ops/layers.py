@@ -242,6 +242,12 @@ class Conv(nn.Module):
     # stride-1 tap axes into channels (fast weight-gradient). Parameters
     # keep the reference shape, so checkpoints are unaffected.
     polyphase: Any = False
+    # Detach the bias from the gradient path. Used when the conv feeds a
+    # training-mode BatchNorm: BN subtracts the batch mean, so the bias
+    # gradient is EXACTLY zero analytically — but autodiff computes it as a
+    # full reduction over the activation (~3 ms/step for the video stem at
+    # B=16). The forward value is unchanged.
+    bias_stop_gradient: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -274,6 +280,8 @@ class Conv(nn.Module):
             b_init = (torch_default_bias(fan_in) if self.bias_init in (None, "default")
                       else get_init(self.bias_init))
             bias = self.param("bias", b_init, (self.features,))
+            if self.bias_stop_gradient:
+                bias = lax.stop_gradient(bias)
             y = y + bias.astype(y.dtype)
         return y
 

@@ -47,12 +47,13 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, block_k, seq_len,
-                  scale):
+def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k,
+                  seq_len, scale):
     """One (batch*head, q-block) cell: online softmax over key blocks.
 
     q_ref: (1, block_q, da) VMEM; k_ref: (1, T, da); v_ref: (1, T, dv);
-    len_ref: SMEM (B*H,) true sequence lengths; o_ref: (1, block_q, dv).
+    len_ref: SMEM (B*H,) true sequence lengths; o_ref: (1, block_q, dv);
+    lse_ref: (1, block_q) per-row log-sum-exp (the backward residual).
     """
     q = q_ref[0].astype(jnp.float32) * scale
     block_q, da = q.shape
@@ -84,24 +85,18 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, block_k, seq_len,
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
     acc0 = jnp.zeros((block_q, dv), jnp.float32)
-    _, l, acc = lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    m, l, acc = lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
 
 
-def flash_attention(q_aug: jnp.ndarray, k_aug: jnp.ndarray, v: jnp.ndarray,
-                    lengths: Optional[jnp.ndarray] = None, scale: float = 1.0,
-                    block_q: int = 128, block_k: int = 128,
-                    interpret: bool = False) -> jnp.ndarray:
-    """Flash attention over augmented features.
-
-    q_aug, k_aug: (B, H, T, da); v: (B, H, T, dv); lengths: (B,) true key
-    lengths (None = all valid). Returns (B, H, T, dv) fp32-accumulated
-    attention in v's dtype.
-    """
+def _flash_forward(q_aug, k_aug, v, lengths, scale, block_q, block_k,
+                   interpret):
+    """Padded flash forward; returns (out (BH, Tp, dvp), lse (BH, Tp)) plus
+    the padded operands for the backward."""
     b, h, t, da = q_aug.shape
     dv = v.shape[-1]
 
-    # Pad to tile-friendly shapes.
     t_pad = _round_up(t, max(block_q, block_k))
     da_pad = _round_up(da, 128)
     dv_pad = _round_up(dv, 128)
@@ -122,7 +117,7 @@ def flash_attention(q_aug: jnp.ndarray, k_aug: jnp.ndarray, v: jnp.ndarray,
     kernel = functools.partial(_flash_kernel, block_k=block_k,
                                seq_len=t_pad, scale=scale)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -135,13 +130,35 @@ def flash_attention(q_aug: jnp.ndarray, k_aug: jnp.ndarray, v: jnp.ndarray,
                 pl.BlockSpec((1, t_pad, dv_pad),
                              lambda bh, qb, lens: (bh, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, block_q, dv_pad),
-                                   lambda bh, qb, lens: (bh, qb, 0)),
+            out_specs=[
+                pl.BlockSpec((1, block_q, dv_pad),
+                             lambda bh, qb, lens: (bh, qb, 0)),
+                pl.BlockSpec((1, block_q), lambda bh, qb, lens: (bh, qb)),
+            ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b * h, t_pad, dv_pad), v.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, t_pad, dv_pad), v.dtype),
+            jax.ShapeDtypeStruct((b * h, t_pad), jnp.float32),
+        ],
         interpret=interpret,
     )(len_bh, q3, k3, v3)
+    return out, lse, (q3, k3, v3, len_bh, t_pad, da_pad, dv_pad)
 
+
+def flash_attention(q_aug: jnp.ndarray, k_aug: jnp.ndarray, v: jnp.ndarray,
+                    lengths: Optional[jnp.ndarray] = None, scale: float = 1.0,
+                    block_q: int = 128, block_k: int = 128,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Flash attention over augmented features.
+
+    q_aug, k_aug: (B, H, T, da); v: (B, H, T, dv); lengths: (B,) true key
+    lengths (None = all valid). Returns (B, H, T, dv) fp32-accumulated
+    attention in v's dtype.
+    """
+    b, h, t, _ = q_aug.shape
+    dv = v.shape[-1]
+    out, _, (_, _, _, _, t_pad, _, dv_pad) = _flash_forward(
+        q_aug, k_aug, v, lengths, scale, block_q, block_k, interpret)
     return out.reshape(b, h, t_pad, dv_pad)[:, :, :t, :dv]
 
 
@@ -158,31 +175,187 @@ def _xla_attention_reference(q_aug, k_aug, v, lengths, scale):
                       v.astype(jnp.float32)).astype(v.dtype)
 
 
+def _flash_bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                         delta_ref, dq_ref, *, block_k, seq_len, scale):
+    """dq for one (batch*head, q-block) cell.
+
+    ds = p * (do @ v^T - delta); dq = scale * ds @ k, streaming key blocks.
+    Rows at/after the true length are zeroed (their lse is degenerate and
+    their true loss gradient is zero — padded positions never reach the
+    masked CTC losses).
+    """
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, None]
+    delta = delta_ref[0][:, None]
+    block_q, da = q.shape
+    valid_len = len_ref[pl.program_id(0)]
+    row = pl.program_id(1) * block_q + lax.broadcasted_iota(
+        jnp.int32, (block_q, 1), 0)
+    row_ok = row < valid_len
+    num_kb = seq_len // block_k
+
+    def body(kb, acc):
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        col = kb * block_k + lax.broadcasted_iota(jnp.int32,
+                                                  (block_q, block_k), 1)
+        p = jnp.where(jnp.logical_and(col < valid_len, row_ok),
+                      jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return acc + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+
+    acc0 = jnp.zeros((block_q, da), jnp.float32)
+    acc = lax.fori_loop(0, num_kb, body, acc0)
+    dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                          delta_ref, dk_ref, dv_ref, *, block_q, seq_len,
+                          scale):
+    """dk/dv for one (batch*head, k-block) cell, streaming query blocks.
+
+    dv = p^T @ do;  dk = scale * ds^T @ q.
+    """
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    block_k, da = k.shape
+    dv_width = v.shape[-1]
+    valid_len = len_ref[pl.program_id(0)]
+    col = pl.program_id(1) * block_k + lax.broadcasted_iota(
+        jnp.int32, (1, block_k), 1)
+    col_ok = col < valid_len
+    num_qb = seq_len // block_q
+
+    def body(qb, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(qb * block_q, block_q)][:, None]
+        delta = delta_ref[0, pl.ds(qb * block_q, block_q)][:, None]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        row = qb * block_q + lax.broadcasted_iota(jnp.int32,
+                                                  (block_q, 1), 0)
+        p = jnp.where(jnp.logical_and(row < valid_len, col_ok),
+                      jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dk_acc, dv_acc
+
+    dk0 = jnp.zeros((block_k, da), jnp.float32)
+    dv0 = jnp.zeros((block_k, dv_width), jnp.float32)
+    dk_acc, dv_acc = lax.fori_loop(0, num_qb, body, (dk0, dv0))
+    dk_ref[0] = (dk_acc * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def flash_attention_trainable(q_aug, k_aug, v, lengths, scale,
                               interpret=False):
-    """Differentiable flash attention: Pallas forward, XLA-recompute backward.
-
-    The forward never materializes (T, T) in HBM; the backward recomputes
-    attention with the XLA reference and differentiates it (activation-memory
-    win applies to the forward/inference path; backward is standard)."""
+    """Differentiable flash attention: Pallas forward AND Pallas flash
+    backward — no (T, T) tensor ever reaches HBM in either direction."""
     return flash_attention(q_aug, k_aug, v, lengths=lengths, scale=scale,
                            interpret=interpret)
 
 
 def _flash_fwd(q_aug, k_aug, v, lengths, scale, interpret):
-    out = flash_attention(q_aug, k_aug, v, lengths=lengths, scale=scale,
-                          interpret=interpret)
-    return out, (q_aug, k_aug, v, lengths)
+    b, h, t, da = q_aug.shape
+    dv = v.shape[-1]
+    out, lse, (q3, k3, v3, len_bh, t_pad, da_pad, dv_pad) = _flash_forward(
+        q_aug, k_aug, v, lengths, scale, 128, 128, interpret)
+    primal = out.reshape(b, h, t_pad, dv_pad)[:, :, :t, :dv]
+    res = (q3, k3, v3, len_bh, out, lse, (b, h, t, da, dv))
+    return primal, res
 
 
 def _flash_bwd(scale, interpret, res, g):
-    q_aug, k_aug, v, lengths = res
-    _, vjp = jax.vjp(
-        lambda q, k, vv: _xla_attention_reference(q, k, vv, lengths, scale),
-        q_aug, k_aug, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+    q3, k3, v3, len_bh, out, lse, (b, h, t, da, dv) = res
+    bh, t_pad, dv_pad = v3.shape
+    da_pad = q3.shape[-1]
+    block_q = block_k = 128
+
+    g3 = jnp.pad(g, ((0, 0), (0, 0), (0, t_pad - t), (0, dv_pad - dv)))
+    g3 = g3.reshape(bh, t_pad, dv_pad).astype(v3.dtype)
+    # delta_i = sum_d dO_i[d] * O_i[d] (rowwise, fused in XLA).
+    delta = (g3.astype(jnp.float32) * out.astype(jnp.float32)).sum(axis=-1)
+
+    common_specs = [
+        pl.BlockSpec((1, t_pad, da_pad), lambda i, j, lens: (i, 0, 0)),
+        pl.BlockSpec((1, t_pad, dv_pad), lambda i, j, lens: (i, 0, 0)),
+    ]
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, block_k=block_k,
+                          seq_len=t_pad, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh, t_pad // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, da_pad),
+                             lambda i, j, lens: (i, j, 0)),
+                common_specs[0],  # k (full)
+                common_specs[1],  # v (full)
+                pl.BlockSpec((1, block_q, dv_pad),
+                             lambda i, j, lens: (i, j, 0)),
+                pl.BlockSpec((1, block_q), lambda i, j, lens: (i, j)),
+                pl.BlockSpec((1, block_q), lambda i, j, lens: (i, j)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, da_pad),
+                                   lambda i, j, lens: (i, j, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, t_pad, da_pad), q3.dtype),
+        interpret=interpret,
+    )(len_bh, q3, k3, v3, g3, lse, delta)
+
+    dk, dvv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, block_q=block_q,
+                          seq_len=t_pad, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh, t_pad // block_k),
+            in_specs=[
+                pl.BlockSpec((1, t_pad, da_pad),
+                             lambda i, j, lens: (i, 0, 0)),  # q (full)
+                pl.BlockSpec((1, block_k, da_pad),
+                             lambda i, j, lens: (i, j, 0)),
+                pl.BlockSpec((1, block_k, dv_pad),
+                             lambda i, j, lens: (i, j, 0)),
+                pl.BlockSpec((1, t_pad, dv_pad),
+                             lambda i, j, lens: (i, 0, 0)),  # do (full)
+                pl.BlockSpec((1, t_pad), lambda i, j, lens: (i, 0)),
+                pl.BlockSpec((1, t_pad), lambda i, j, lens: (i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_k, da_pad),
+                             lambda i, j, lens: (i, j, 0)),
+                pl.BlockSpec((1, block_k, dv_pad),
+                             lambda i, j, lens: (i, j, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, t_pad, da_pad), k3.dtype),
+            jax.ShapeDtypeStruct((bh, t_pad, dv_pad), v3.dtype),
+        ],
+        interpret=interpret,
+    )(len_bh, q3, k3, v3, g3, lse, delta)
+
+    # Crop padding back to the caller's shapes.
+    def crop(x, width):
+        return x.reshape(b, h, t_pad, x.shape[-1])[:, :, :t, :width]
+
+    return crop(dq, da), crop(dk, da), crop(dvv, dv), None
 
 
 flash_attention_trainable.defvjp(_flash_fwd, _flash_bwd)

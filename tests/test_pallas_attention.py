@@ -87,29 +87,43 @@ def test_flash_full_mask_falls_back_to_xla():
 
 
 def test_flash_trainable_grads_match_xla():
-    """custom_vjp backward (XLA recompute) == grads of the pure XLA ref."""
+    """Pallas flash backward (dq/dk/dv kernels) == grads of the pure XLA
+    reference. The loss reads only valid rows (padded query rows never
+    reach the masked CTC losses in real models; the reference softmaxes
+    fully-masked rows into uniform garbage there while the kernel zeroes
+    them, so an unmasked loss would compare garbage contributions)."""
     from avec_tpu.ops.pallas_attention import (
         _xla_attention_reference,
         flash_attention_trainable,
     )
 
     rng = np.random.RandomState(3)
-    b, h, t, d = 1, 2, 32, 16
+    b, h, t, d = 2, 2, 32, 16
     q = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
     k = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
     v = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
-    lengths = jnp.array([24])
+    lengths = jnp.array([24, 32])
+    w = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
+    row_mask = (jnp.arange(t)[None, None, :, None]
+                < lengths[:, None, None, None])
+    wm = jnp.where(row_mask, w, 0.0)
 
     def loss_flash(q, k, v):
-        return (flash_attention_trainable(q, k, v, lengths, 0.25, True)
-                .astype(jnp.float32) ** 2).sum()
+        o = flash_attention_trainable(q, k, v, lengths, 0.25, True)
+        return (o.astype(jnp.float32) * wm).sum()
 
     def loss_ref(q, k, v):
-        return (_xla_attention_reference(q, k, v, lengths, 0.25)
-                .astype(jnp.float32) ** 2).sum()
+        o = _xla_attention_reference(q, k, v, lengths, 0.25)
+        return (o.astype(jnp.float32) * wm).sum()
 
     gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
-    for a, b_ in zip(gf, gr):
+    # Padded q rows: the kernel's dq is exactly zero; the reference has
+    # garbage there. Compare valid rows for dq, everything for dk/dv.
+    np.testing.assert_allclose(
+        np.asarray(gf[0] * row_mask), np.asarray(gr[0] * row_mask),
+        rtol=1e-3, atol=1e-4)
+    assert np.abs(np.asarray(gf[0] * ~row_mask)).max() == 0.0
+    for a, b_ in zip(gf[1:], gr[1:]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-3, atol=1e-4)

@@ -1,9 +1,10 @@
-"""Fused Pallas video stem vs the XLA polyphase composition.
+"""Restructured video stem (FusedVideoStem) vs the 5-D composition.
 
-The fused stem (ops/pallas_stem.py + models/encoders.FusedVideoStem) must
+Both implementations (pure-XLA 2-D path and the Pallas-kernel path) must
 be numerically interchangeable with Conv(polyphase) + BatchNorm + ReLU +
 max_pool — same params, same outputs, same gradients (up to the analytic
-zero for the conv bias), same running-stat updates.
+zero for the conv bias), same running-stat updates. FusedVideoStem
+returns frames flattened (B*T, 22, 22, 64).
 """
 
 import numpy as np
@@ -30,6 +31,10 @@ def _ref_stem():
         norm="BatchNorm3d", act_fun="ReLU", ndim=3, polyphase=True)
 
 
+def _stem(pallas):
+    return FusedVideoStem(use_pallas=pallas, interpret=True)
+
+
 def _ref_apply(variables, x, training, mutable=False):
     stem = _ref_stem()
     out = stem.apply(variables, x, deterministic=not training,
@@ -37,38 +42,40 @@ def _ref_apply(variables, x, training, mutable=False):
     y, updates = out if mutable else (out, None)
     b, t, h, w, c = y.shape
     pooled = max_pool(y.reshape(b * t, h, w, c), (3, 3), (2, 2),
-                      padding="same").reshape(b, t, h // 2, w // 2, c)
-    return pooled, updates
+                      padding="same")
+    return pooled, updates  # flattened (B*T, 22, 22, 64)
 
 
-def test_param_tree_matches_unfused():
+@pytest.mark.parametrize("pallas", [False, True])
+def test_param_tree_matches_unfused(pallas):
     x = _x()
     ref_vars = _ref_stem().init({"params": jax.random.PRNGKey(0)}, x,
                                 deterministic=True)
-    fused_vars = FusedVideoStem(interpret=True).init(
+    fused_vars = _stem(pallas).init(
         {"params": jax.random.PRNGKey(0)}, x, deterministic=True)
     ref_shapes = jax.tree.map(lambda a: a.shape, ref_vars)
     fused_shapes = jax.tree.map(lambda a: a.shape, fused_vars)
     assert ref_shapes == fused_shapes, (ref_shapes, fused_shapes)
 
 
-def test_eval_forward_matches_unfused():
+@pytest.mark.parametrize("pallas", [False, True])
+def test_eval_forward_matches_unfused(pallas):
     x = _x(1)
     ref_vars = _ref_stem().init({"params": jax.random.PRNGKey(0)}, x,
                                 deterministic=True)
     want, _ = _ref_apply(ref_vars, x, training=False)
-    got = FusedVideoStem(interpret=True).apply(ref_vars, x,
-                                               deterministic=True)
+    got = _stem(pallas).apply(ref_vars, x, deterministic=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
 
 
-def test_train_forward_and_stats_match_unfused():
+@pytest.mark.parametrize("pallas", [False, True])
+def test_train_forward_and_stats_match_unfused(pallas):
     x = _x(2)
     ref_vars = _ref_stem().init({"params": jax.random.PRNGKey(0)}, x,
                                 deterministic=True)
     want, ref_updates = _ref_apply(ref_vars, x, training=True, mutable=True)
-    got, fused_updates = FusedVideoStem(interpret=True).apply(
+    got, fused_updates = _stem(pallas).apply(
         ref_vars, x, deterministic=False, mutable=["batch_stats"])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
@@ -79,7 +86,8 @@ def test_train_forward_and_stats_match_unfused():
             rtol=2e-5, atol=2e-5)
 
 
-def test_train_grads_match_unfused():
+@pytest.mark.parametrize("pallas", [False, True])
+def test_train_grads_match_unfused(pallas):
     x = _x(3)
     ref_vars = _ref_stem().init({"params": jax.random.PRNGKey(0)}, x,
                                 deterministic=True)
@@ -92,13 +100,13 @@ def test_train_grads_match_unfused():
         return (out.astype(jnp.float32) * _w).sum()
 
     def loss_fused(p):
-        out, _ = FusedVideoStem(interpret=True).apply(
+        out, _ = _stem(pallas).apply(
             {"params": p, **bstats}, x, deterministic=False,
             mutable=["batch_stats"])
         return (out.astype(jnp.float32) * _w).sum()
 
     rng = np.random.RandomState(7)
-    _w = jnp.asarray(rng.randn(B, T, 22, 22, 64).astype(np.float32))
+    _w = jnp.asarray(rng.randn(B * T, 22, 22, 64).astype(np.float32))
     g_ref = jax.grad(loss_ref)(params)
     g_fused = jax.grad(loss_fused)(params)
 
@@ -118,14 +126,15 @@ def test_train_grads_match_unfused():
                                atol=1e-12)
 
 
-def test_block_padding_t_not_multiple():
-    """T=5 pads to Tp=8 internally; outputs and stats must still be exact
-    (masking correctness)."""
+@pytest.mark.parametrize("pallas", [False, True])
+def test_block_padding_t_not_multiple(pallas):
+    """T=3 pads to Tp=4 internally on the pallas path; outputs and stats
+    must still be exact (masking correctness)."""
     x = _x(4, t=3)
     ref_vars = _ref_stem().init({"params": jax.random.PRNGKey(1)}, x,
                                 deterministic=True)
     want, ref_updates = _ref_apply(ref_vars, x, training=True, mutable=True)
-    got, fused_updates = FusedVideoStem(interpret=True).apply(
+    got, fused_updates = _stem(pallas).apply(
         ref_vars, x, deterministic=False, mutable=["batch_stats"])
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
