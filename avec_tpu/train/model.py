@@ -33,6 +33,7 @@ TPU-first architecture:
 import json
 import math
 import os
+import re
 import time
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
 
@@ -875,7 +876,11 @@ class Model:
                                    f"checkpoints_epoch_{epoch}_step_*.ckpt")
             matches = globmod.glob(pattern)
             assert matches, f"no checkpoint for epoch {epoch}"
-            self.load(matches[0], load_optimizer=False, verbose=False,
+            # With saving_period_step there can be several ckpts per epoch;
+            # deterministically take the end-of-epoch one (max step).
+            matches.sort(key=lambda p: int(
+                re.search(r"_step_(\d+)\.ckpt$", p).group(1)))
+            self.load(matches[-1], load_optimizer=False, verbose=False,
                       strict=True)
             p = jax.tree.map(np.asarray, self.params)
             if avg is None:

@@ -187,10 +187,17 @@ def bench_jax():
 def bench_torch_cpu_baseline():
     """Equivalent-compute torch-CPU AV conformer train step (the reference's
     stack is pure PyTorch; this measures the same architecture family's
-    fwd+bwd on this host's CPU). Cached in bench_baseline.json."""
+    fwd+bwd on this host's CPU). Cached in bench_baseline.json.
+
+    Measurement: median per-step time over >=6 timed steps (or >=20 s of
+    wall clock, whichever comes first) after a warmup step — a single
+    outlier step (page cache, thread pool spin-up) cannot skew the cached
+    number. Cache is versioned; older 2-step measurements are remeasured."""
     if os.path.isfile(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
-            return json.load(f)["torch_cpu_utt_per_sec"]
+            cached = json.load(f)
+        if cached.get("version", 1) >= 2:
+            return cached["torch_cpu_utt_per_sec"]
     import torch
     import torch.nn as nn
 
@@ -304,15 +311,21 @@ def bench_torch_cpu_baseline():
         opt.step()
 
     step()  # warmup
+    step_times = []
     t0 = time.time()
-    n_steps = 2
-    for _ in range(n_steps):
+    while len(step_times) < 6 and (time.time() - t0) < 20.0:
+        ts = time.time()
         step()
-    dt = time.time() - t0
-    utt_per_sec = b * n_steps / dt
+        step_times.append(time.time() - ts)
+    step_times.sort()
+    median_dt = step_times[len(step_times) // 2]
+    utt_per_sec = b / median_dt
     with open(BASELINE_FILE, "w") as f:
         json.dump({"torch_cpu_utt_per_sec": utt_per_sec,
-                   "batch": b, "audio_seconds": AUDIO_SECONDS}, f)
+                   "batch": b, "audio_seconds": AUDIO_SECONDS,
+                   "n_steps": len(step_times),
+                   "step_times_sec": [round(t, 4) for t in step_times],
+                   "version": 2}, f)
     return utt_per_sec
 
 

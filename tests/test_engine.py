@@ -193,6 +193,28 @@ def test_swa_cycle(tmp_path):
     assert any(f.startswith("checkpoints_swa-equal-1-2") for f in os.listdir(cb))
 
 
+def test_swa_picks_max_step_per_epoch(tmp_path):
+    """With saving_period_step there can be several ckpts per epoch; SWA
+    must deterministically pick the end-of-epoch (max-step) one, including
+    when the step numbers don't sort lexically (step_2 vs step_10)."""
+    ds = FeatureDataset(n=8)
+    loader = DataLoader(ds, batch_size=8, drop_last=True, prefetch=0)
+    model = _make_model()
+    model.build(next(iter(loader))["inputs"])
+    cb = str(tmp_path)
+    # Mid-epoch ckpt at the init params...
+    model.save(os.path.join(cb, "checkpoints_epoch_1_step_2.ckpt"))
+    # ...then perturbed params at a higher step (lexically SMALLER name).
+    model.params = jax.tree.map(lambda a: a + 1.0, model.params)
+    expected = jax.tree.map(np.asarray, model.params)
+    model.save(os.path.join(cb, "checkpoints_epoch_1_step_10.ckpt"))
+    model.params = jax.tree.map(lambda a: a - 5.0, model.params)
+    model.swa(loader, cb, start_epoch=1, end_epoch=1, update_steps=0)
+    got = jax.tree.map(np.asarray, model.params)
+    for a, b in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+        np.testing.assert_allclose(a, b)
+
+
 def test_ema_updates():
     ds = FeatureDataset(n=8)
     loader = DataLoader(ds, batch_size=8, drop_last=True, prefetch=0)

@@ -65,3 +65,57 @@ def test_serve_ao_bucketed_compile_cache(tmp_path):
     pre_s = jax.tree.map(np.asarray, srv.decoder.device_fn(tuple(out_s)))
     pre_l = jax.tree.map(np.asarray, srv.decoder.device_fn(tuple(out_l)))
     assert srv.decoder(pre_s)[0] == srv.decoder(pre_l)[0]
+
+
+def test_serve_cross_request_batching(tmp_path):
+    """A batch of requests runs as ONE device call and decodes each request
+    identically to serving it alone (batch padding correctness), including
+    when batch padding rows are added (3 requests -> batch bucket 4)."""
+    import serve
+
+    tok = _make_tokenizer(tmp_path / "tok.json")
+    srv = serve.Server(mode="ao", checkpoint=None, tokenizer=tok)
+
+    paths = []
+    for i, (sec, freq) in enumerate([(0.20, 440.0), (0.23, 220.0),
+                                     (0.15, 660.0)]):
+        w = tmp_path / f"q{i}.wav"
+        _write_wav(w, sec, freq=freq)
+        paths.append(str(w))
+
+    singles = [srv.transcribe(p) for p in paths]
+    batched = srv.transcribe_batch(paths)
+    assert [r["text"] for r in batched] == [r["text"] for r in singles]
+    assert all(r["batch_size"] == 3 for r in batched)
+    assert all(r["latency_s"] > 0 for r in batched)
+
+    # Per-path failures must not poison the rest of the batch.
+    mixed = srv.transcribe_batch([paths[0], str(tmp_path / "missing.wav")])
+    assert mixed[0]["text"] == singles[0]["text"]
+    assert "error" in mixed[1]
+
+    s = srv.stats_summary()
+    assert s["requests"] == len(srv.latencies) >= 7
+    assert s["latency_p95_s"] >= s["latency_p50_s"] > 0
+    assert s["rtf_mean"] > 0
+
+
+def test_serve_stdin_batching_loop(tmp_path, monkeypatch):
+    """The stdin loop gathers queued lines into one batch (linger window)
+    and emits one JSON line per request plus per-request latency."""
+    import io
+    import serve
+
+    tok = _make_tokenizer(tmp_path / "tok.json")
+    srv = serve.Server(mode="ao", checkpoint=None, tokenizer=tok)
+    w = tmp_path / "s.wav"
+    _write_wav(w, 0.2)
+    monkeypatch.setattr(serve.sys, "stdin",
+                        io.StringIO(f"{w}\n{w}\n{w}\n"))
+    out = io.StringIO()
+    serve._stdin_loop(srv, max_batch=4, window_ms=200.0, out=out)
+    lines = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert len(lines) == 3
+    assert all(isinstance(r["text"], str) for r in lines)
+    # All three lines were already queued when the loop woke: one batch.
+    assert max(r["batch_size"] for r in lines) >= 2

@@ -6,7 +6,7 @@
 #
 #     http://www.apache.org/licenses/LICENSE-2.0
 
-"""Minimal production serving loop for AVEC models.
+"""Batched serving loop for AVEC models.
 
 Loads a model once (our msgpack checkpoints or the released torch .ckpt via
 the converter), then transcribes requests — wav (audio-only), mp4
@@ -14,24 +14,34 @@ the converter), then transcribes requests — wav (audio-only), mp4
 long-running stdin loop (one path per line -> one JSON result per line).
 
 Serving-path engineering, the part the reference leaves to notebooks:
-  * ONE jitted forward, compiled per length bucket (power-of-two padded
-    lengths) — steady-state requests never retrace or recompile;
-  * padding is masked by the model's length semantics, so bucket padding
-    does not change the transcription;
+  * ONE jitted forward, compiled per (batch-bucket, length-bucket) —
+    power-of-two padded batch and sequence dims, so steady-state requests
+    never retrace or recompile;
+  * cross-request batching: the stdin loop gathers up to --max_batch
+    pending requests inside a --batch_window_ms linger window and runs
+    them as one device batch (throughput under load, low latency when
+    idle);
+  * padding is masked by the model's length semantics, so neither bucket
+    padding nor batch padding changes the transcription (tested);
   * decoder split: device argmax/collapse (jitted) + host detokenize or
     C++ beam search + n-gram + optional GPT rescoring, exactly the eval
-    stack (avec_tpu/decode/).
+    stack (avec_tpu/decode/);
+  * latency accounting: every response carries queue-to-response latency
+    and RTF; a run summary (p50/p95 latency, throughput) prints to stderr
+    at EOF.
 
 Usage:
   python tools/serve.py --mode ao --checkpoint ckpt.ckpt a.wav b.wav
-  ... --stdin        # serve lines from stdin until EOF
+  ... --stdin --max_batch 8 --batch_window_ms 50   # serve stdin until EOF
   ... --mode av clip.mp4      # expects clip.wav next to the video
 """
 
 import argparse
 import json
 import os
+import queue
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -41,6 +51,13 @@ import numpy as np
 
 def _bucket(n: int, floor: int = 4000) -> int:
     b = floor
+    while b < n:
+        b *= 2
+    return b
+
+
+def _batch_bucket(n: int) -> int:
+    b = 1
     while b < n:
         b *= 2
     return b
@@ -71,6 +88,8 @@ class Server:
             else:
                 self.decoder = nnet.CTCBeamSearchDecoder(tokenizer)
         self._fwd_cache = {}
+        self.latencies = []  # queue-to-response seconds, one per request
+        self.rtfs = []
 
     # ------------------------------------------------------------ inputs
     def load_request(self, path: str):
@@ -91,23 +110,46 @@ class Server:
             out["audio"] = audio.astype(np.float32)
         return out
 
+    @staticmethod
+    def _request_samples(req) -> int:
+        """Audio-sample-equivalent length of a request (for bucketing)."""
+        n = len(req.get("audio", []))
+        return int(n) if n else int(req["video"].shape[0] * 640)
+
     def _inputs_for(self, req, bucket_len):
+        """Single-request inputs (B=1); kept for the argv path and tests."""
+        return self._inputs_for_batch([req], bucket_len, 1)
+
+    def _inputs_for_batch(self, reqs, bucket_len, batch_bucket):
+        """Pad a list of requests into one (batch_bucket, bucket_len) batch.
+
+        Padding rows replicate request 0 (their outputs are discarded; real
+        data keeps every row numerically well-conditioned)."""
+        rows = list(reqs) + [reqs[0]] * (batch_bucket - len(reqs))
+
+        def audio_pack():
+            pad = np.zeros((batch_bucket, bucket_len), np.float32)
+            lens = np.zeros((batch_bucket,), np.int32)
+            for i, r in enumerate(rows):
+                a = r["audio"]
+                pad[i, : len(a)] = a
+                lens[i] = len(a)
+            return [pad, lens]
+
         if self.mode == "ao":
-            audio = req["audio"]
-            pad = np.zeros((1, bucket_len), np.float32)
-            pad[0, : len(audio)] = audio
-            return [pad, np.array([len(audio)], np.int32)]
-        video = req["video"]
+            return audio_pack()
         vb = bucket_len // 640 + 1
-        vpad = np.zeros((1, vb) + video.shape[1:], np.float32)
-        vpad[0, : video.shape[0]] = video
-        vin = [vpad, np.array([video.shape[0]], np.int32)]
+        vshape = rows[0]["video"].shape[1:]
+        vpad = np.zeros((batch_bucket, vb) + vshape, np.float32)
+        vlens = np.zeros((batch_bucket,), np.int32)
+        for i, r in enumerate(rows):
+            v = r["video"]
+            vpad[i, : v.shape[0]] = v
+            vlens[i] = v.shape[0]
+        vin = [vpad, vlens]
         if self.mode == "vo":
             return vin
-        audio = req["audio"]
-        apad = np.zeros((1, bucket_len), np.float32)
-        apad[0, : len(audio)] = audio
-        return vin + [apad, np.array([len(audio)], np.int32)]
+        return vin + audio_pack()
 
     # ----------------------------------------------------------- forward
     def _forward(self, inputs):
@@ -133,25 +175,107 @@ class Server:
         return self._fwd_cache[key](self.model.params, self.model.batch_stats,
                                     *inputs)
 
-    def transcribe(self, path: str):
+    # ------------------------------------------------------- transcription
+    def transcribe_batch(self, paths, enqueue_times=None):
+        """Transcribe a list of paths as ONE device batch.
+
+        Returns one JSON-able dict per path, in order. Per-path load errors
+        yield {"file", "error"} entries; the remaining requests still run.
+        Latency is measured from enqueue_times[i] (defaults to now) to the
+        moment the request's result is ready — it includes queue wait,
+        preprocessing, device time and decoding."""
         import jax
 
-        req = self.load_request(path)
-        n = len(req.get("audio", [])) or req["video"].shape[0] * 640
-        inputs = self._inputs_for(req, _bucket(int(n)))
-        t0 = time.perf_counter()
-        logits, lengths = self._forward(inputs)
-        if self.decoder is not None:
-            pre = jax.tree.map(np.asarray,
-                               self.decoder.device_fn((logits, lengths)))
-            text = self.decoder(pre)[0]
-        else:
-            text = None
-        dt = time.perf_counter() - t0
-        dur = n / 16000.0
-        return {"file": path, "text": text, "latency_s": round(dt, 4),
-                "rtf": round(dt / max(dur, 1e-6), 5),
+        if enqueue_times is None:
+            enqueue_times = [time.perf_counter()] * len(paths)
+        reqs, order, results = [], [], [None] * len(paths)
+        for i, path in enumerate(paths):
+            try:
+                reqs.append(self.load_request(path))
+                order.append(i)
+            except Exception as e:  # keep serving
+                results[i] = {"file": path, "error": str(e)}
+        if reqs:
+            samples = [self._request_samples(r) for r in reqs]
+            bucket_len = _bucket(max(samples))
+            inputs = self._inputs_for_batch(reqs, bucket_len,
+                                            _batch_bucket(len(reqs)))
+            logits, lengths = self._forward(inputs)
+            if self.decoder is not None:
+                pre = jax.tree.map(np.asarray,
+                                   self.decoder.device_fn((logits, lengths)))
+                texts = self.decoder(pre)[: len(reqs)]
+            else:
+                texts = [None] * len(reqs)
+            done = time.perf_counter()
+            for k, i in enumerate(order):
+                dt = done - enqueue_times[i]
+                dur = samples[k] / 16000.0
+                self.latencies.append(dt)
+                self.rtfs.append(dt / max(dur, 1e-6))
+                results[i] = {"file": paths[i], "text": texts[k],
+                              "latency_s": round(dt, 4),
+                              "rtf": round(dt / max(dur, 1e-6), 5),
+                              "batch_size": len(reqs),
+                              "compiled_buckets": len(self._fwd_cache)}
+        return results
+
+    def transcribe(self, path: str):
+        return self.transcribe_batch([path])[0]
+
+    def stats_summary(self):
+        """Aggregate latency/throughput stats over the server's lifetime."""
+        if not self.latencies:
+            return {"requests": 0}
+        lat = np.sort(np.asarray(self.latencies))
+        return {"requests": int(lat.size),
+                "latency_p50_s": round(float(lat[lat.size // 2]), 4),
+                "latency_p95_s": round(float(lat[min(lat.size - 1,
+                                                     int(lat.size * 0.95))]), 4),
+                "latency_mean_s": round(float(lat.mean()), 4),
+                "rtf_mean": round(float(np.mean(self.rtfs)), 5),
                 "compiled_buckets": len(self._fwd_cache)}
+
+
+def _stdin_loop(srv, max_batch: int, window_ms: float, out=sys.stdout):
+    """Batching request loop: block on the first pending path, then linger
+    up to window_ms gathering more (bounded by max_batch) before running
+    one device batch. Under load the window fills instantly; when idle a
+    single request pays at most the linger."""
+    q = queue.Queue()
+    EOF = object()
+
+    def reader():
+        for line in sys.stdin:
+            if line.strip():
+                q.put((line.strip(), time.perf_counter()))
+        q.put((EOF, None))
+
+    threading.Thread(target=reader, daemon=True).start()
+    while True:
+        path, t0 = q.get()
+        if path is EOF:
+            break
+        batch, times = [path], [t0]
+        deadline = time.perf_counter() + window_ms / 1000.0
+        eof = False
+        while len(batch) < max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                p, t = q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if p is EOF:
+                eof = True
+                break
+            batch.append(p)
+            times.append(t)
+        for r in srv.transcribe_batch(batch, times):
+            print(json.dumps(r), file=out, flush=True)
+        if eof:
+            break
 
 
 def main():
@@ -164,6 +288,10 @@ def main():
     ap.add_argument("--decoder", choices=["greedy", "beam"], default="greedy")
     ap.add_argument("--stdin", action="store_true",
                     help="serve request paths from stdin, one per line")
+    ap.add_argument("--max_batch", type=int, default=8,
+                    help="max requests batched into one device call")
+    ap.add_argument("--batch_window_ms", type=float, default=50.0,
+                    help="linger window for gathering a batch from stdin")
     args = ap.parse_args()
 
     srv = Server(mode=args.mode, checkpoint=args.checkpoint,
@@ -172,19 +300,13 @@ def main():
         print("WARNING: no checkpoint — transcriptions will be noise",
               file=sys.stderr)
 
-    def handle(path):
-        try:
-            print(json.dumps(srv.transcribe(path.strip())), flush=True)
-        except Exception as e:  # keep serving
-            print(json.dumps({"file": path.strip(), "error": str(e)}),
-                  flush=True)
-
-    for p in args.paths:
-        handle(p)
+    if args.paths:
+        for r in srv.transcribe_batch(list(args.paths)):
+            print(json.dumps(r), flush=True)
     if args.stdin:
-        for line in sys.stdin:
-            if line.strip():
-                handle(line)
+        _stdin_loop(srv, args.max_batch, args.batch_window_ms)
+    print(json.dumps({"summary": srv.stats_summary()}), file=sys.stderr,
+          flush=True)
 
 
 if __name__ == "__main__":
