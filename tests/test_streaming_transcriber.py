@@ -1,0 +1,169 @@
+"""Streaming transcription (push/partial/final) coverage.
+
+The exactness claim: with an unbounded window, StreamingTranscriber.finish()
+equals the offline full-utterance greedy decode (CTCGreedySearchDecoder) of
+the same audio — chunked ingestion, length bucketing, and partial emission
+change nothing. Windowed mode is approximate by design (bidirectional
+attention); its contract is bounded memory + committed-prefix monotonicity.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from avec_tpu.decode.streaming import (
+    StreamingTranscriber,
+    _collapse_host,
+    _find_blank_cut,
+)
+
+TEXTS = ["the cat sat on the mat",
+         "a quick brown fox jumps over the lazy dog"]
+
+
+# --------------------------------------------------------------- fast unit
+def test_collapse_host_matches_device_collapse():
+    import jax.numpy as jnp
+
+    from avec_tpu.ops.ctc import ctc_greedy_collapse
+
+    rng = np.random.RandomState(0)
+    preds = rng.randint(0, 5, size=(8, 40)).astype(np.int32)
+    lens = rng.randint(1, 41, size=(8,)).astype(np.int32)
+    toks, tlens = ctc_greedy_collapse(jnp.asarray(preds), jnp.asarray(lens))
+    toks, tlens = np.asarray(toks), np.asarray(tlens)
+    for b in range(8):
+        want = toks[b, : tlens[b]].tolist()
+        got = _collapse_host(preds[b, : lens[b]])
+        assert got == want
+
+
+def test_find_blank_cut():
+    # Blank run [3,4] ends at 5 -> cut 5 (latest run before horizon).
+    preds = np.array([1, 1, 2, 0, 0, 3, 0, 0, 4])
+    assert _find_blank_cut(preds, horizon=6) == 5
+    assert _find_blank_cut(preds, horizon=9) == 8
+    # Horizon before any complete blank run -> -1.
+    assert _find_blank_cut(preds, horizon=3) == -1
+    # No blanks at all -> -1.
+    assert _find_blank_cut(np.array([1, 2, 3, 4]), horizon=4) == -1
+    # min_run respected.
+    assert _find_blank_cut(np.array([1, 0, 2, 0, 0]), horizon=5) == 5
+    assert _find_blank_cut(np.array([1, 0, 2, 0, 3]), horizon=5) == -1
+
+
+# ------------------------------------------------------------ slow e2e
+def _make_setup(tmp_path):
+    from avec_tpu.decode.greedy import CTCGreedySearchDecoder
+    from avec_tpu.models import zoo
+    from avec_tpu.train.losses import CTCLoss
+    from avec_tpu.utils.tokenizer import train_tokenizer
+
+    corpus = os.path.join(str(tmp_path), "corpus.txt")
+    with open(corpus, "w") as f:
+        f.write("\n".join(TEXTS * 4) + "\n")
+    tok_path = os.path.join(str(tmp_path), "tokenizerbpe256.model")
+    train_tokenizer(corpus, tok_path, vocab_size=256)
+
+    m = zoo.AudioEfficientConformerInterCTC(interctc_blocks=[])
+    m.compile(losses=CTCLoss(zero_infinity=True, assert_shorter=False),
+              loss_weights=None)
+    dec = CTCGreedySearchDecoder(tok_path)
+    return m, dec
+
+
+def _diversify_head(params, good_ids):
+    """Random-init conformers argmax blank everywhere (empty transcripts) —
+    rewrite the head bias so the per-frame argmax always lands on a REAL
+    tokenizer piece id (unused vocab slots decode to ''), varying across
+    `good_ids` with the input. The decode paths are then compared on
+    non-trivial transcripts."""
+    import jax
+    import jax.numpy as jnp
+
+    good_ids = jnp.asarray(sorted(set(int(i) for i in good_ids)))
+
+    def fix(path, leaf):
+        keys = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+        if len(keys) >= 2 and keys[-2] == "head" and keys[-1] == "bias":
+            noise = jax.random.normal(jax.random.PRNGKey(0),
+                                      good_ids.shape, leaf.dtype) * 2.0
+            leaf = jnp.full_like(leaf, -20.0).at[good_ids].set(noise)
+        return leaf
+    return jax.tree_util.tree_map_with_path(fix, params)
+
+
+def _piece_ids(tok):
+    ids = []
+    for w in ["the", "cat", "sat", "on", "mat", "quick", "brown", "fox"]:
+        ids.extend(tok.encode(w))
+    return ids
+
+
+@pytest.mark.slow
+def test_streaming_final_matches_offline_greedy(tmp_path):
+    m, dec = _make_setup(tmp_path)
+    rng = np.random.RandomState(7)
+    audio = (rng.randn(4 * 16000) * 0.1).astype(np.float32)
+
+    st = StreamingTranscriber(m, dec, hop_seconds=0.5, window_seconds=None)
+    partials = []
+    for start in range(0, len(audio), 3200):  # 200 ms pushes
+        partials.append(st.push(audio[start: start + 3200])["text"])
+    # Blank-suppression surgery BEFORE the final forward: finish() and the
+    # offline path below run with identical, transcript-producing params.
+    m.params = _diversify_head(m.params, _piece_ids(dec.tokenizer))
+    final = st.finish()
+    assert final["final"] is True
+
+    # Offline reference: the model's own eval path on the full utterance
+    # (same bucket padding as the last streaming forward).
+    bucket = st._bucket(len(audio))
+    pad = np.zeros((1, bucket), np.float32)
+    pad[0] = audio
+    out, _ = m.apply_net(m.params, m.batch_stats,
+                         [pad, np.array([len(audio)], np.int32)], False, None)
+    import jax.numpy as jnp
+
+    from avec_tpu.ops.ctc import ctc_greedy_collapse
+
+    logits, lengths = out["outputs"]
+    offline = dec(ctc_greedy_collapse(jnp.argmax(logits, -1),
+                                      lengths))[0]
+    assert offline != ""  # surgery produced a real token sequence
+    assert final["text"] == offline, (final["text"], offline)
+    # Partials were emitted along the way and pushing after finish raises.
+    assert any(isinstance(p, str) for p in partials)
+    with pytest.raises(AssertionError):
+        st.push(audio[:100])
+
+
+@pytest.mark.slow
+def test_streaming_windowed_bounded_and_monotonic(tmp_path):
+    m, dec = _make_setup(tmp_path)
+    rng = np.random.RandomState(11)
+    audio = (rng.randn(8 * 16000) * 0.1).astype(np.float32)
+
+    st = StreamingTranscriber(m, dec, hop_seconds=0.5, window_seconds=3.0,
+                              commit_margin_seconds=0.5)
+    # Pre-build + blank-suppression so commits carry real tokens.
+    pad = np.zeros((1, st._bucket(16000)), np.float32)
+    m.build([pad, np.array([16000], np.int32)])
+    m.params = _diversify_head(m.params, _piece_ids(dec.tokenizer))
+    st._built = True
+    committed_lens = []
+    for start in range(0, len(audio), 8000):  # 500 ms pushes
+        r = st.push(audio[start: start + 8000])
+        # Bounded memory: the buffer never exceeds window + one push.
+        assert r["buffered_seconds"] <= 3.0 + 0.5 + 1e-6
+        committed_lens.append(len(st._committed))
+    final = st.finish()
+    assert isinstance(final["text"], str)
+    # Commits only ever grow (frozen prefix is monotonic).
+    assert committed_lens == sorted(committed_lens)
+    # The window actually slid and froze real tokens (8 s audio, 3 s
+    # window, blank suppressed -> forced cuts commit non-blank tokens).
+    assert committed_lens[-1] > 0
+    assert len(st._buffer) <= 3.0 * 16000 + 8000
+    assert final["text"] != ""

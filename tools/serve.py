@@ -30,10 +30,15 @@ Serving-path engineering, the part the reference leaves to notebooks:
     and RTF; a run summary (p50/p95 latency, throughput) prints to stderr
     at EOF.
 
+  * streaming: --stream feeds a wav through the incremental
+    push/partial/final API (avec_tpu/decode/streaming.py) — bucketed-jit
+    chunked forwards, CTC blank-run commits, optional bounded window.
+
 Usage:
   python tools/serve.py --mode ao --checkpoint ckpt.ckpt a.wav b.wav
   ... --stdin --max_batch 8 --batch_window_ms 50   # serve stdin until EOF
   ... --mode av clip.mp4      # expects clip.wav next to the video
+  ... --stream --chunk_ms 480 a.wav   # live partial transcripts
 """
 
 import argparse
@@ -278,6 +283,31 @@ def _stdin_loop(srv, max_batch: int, window_ms: float, out=sys.stdout):
             break
 
 
+def _stream_file(srv, path: str, chunk_ms: float, window_s: float,
+                 out=sys.stdout):
+    """Simulated live stream: feed a wav in chunk_ms slices through
+    StreamingTranscriber, printing one JSON partial per forward and a
+    final line (avec_tpu/decode/streaming.py)."""
+    from avec_tpu.decode.streaming import StreamingTranscriber
+
+    audio = srv.load_request(path)["audio"]
+    st = StreamingTranscriber(srv.model, srv.decoder,
+                              window_seconds=window_s or None)
+    step = max(1, int(chunk_ms * 16))
+    last = None
+    for start in range(0, len(audio), step):
+        r = st.push(audio[start: start + step])
+        if r["text"] != last:
+            last = r["text"]
+            print(json.dumps({"file": path, "partial": r["text"],
+                              "t": round((start + step) / 16000.0, 2)}),
+                  file=out, flush=True)
+    final = st.finish()
+    print(json.dumps({"file": path, "text": final["text"], "final": True,
+                      "device_seconds": round(final["device_seconds"], 4)}),
+          file=out, flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("paths", nargs="*")
@@ -292,6 +322,13 @@ def main():
                     help="max requests batched into one device call")
     ap.add_argument("--batch_window_ms", type=float, default=50.0,
                     help="linger window for gathering a batch from stdin")
+    ap.add_argument("--stream", action="store_true",
+                    help="audio-only: stream each wav in chunks, printing "
+                         "partial transcripts then a final one")
+    ap.add_argument("--chunk_ms", type=float, default=480.0,
+                    help="--stream chunk size in milliseconds")
+    ap.add_argument("--stream_window_s", type=float, default=0.0,
+                    help="--stream bounded audio window (0 = unbounded)")
     args = ap.parse_args()
 
     srv = Server(mode=args.mode, checkpoint=args.checkpoint,
@@ -300,7 +337,11 @@ def main():
         print("WARNING: no checkpoint — transcriptions will be noise",
               file=sys.stderr)
 
-    if args.paths:
+    if args.stream:
+        assert args.mode == "ao", "--stream is audio-only"
+        for path in args.paths:
+            _stream_file(srv, path, args.chunk_ms, args.stream_window_s)
+    elif args.paths:
         for r in srv.transcribe_batch(list(args.paths)):
             print(json.dumps(r), flush=True)
     if args.stdin:
