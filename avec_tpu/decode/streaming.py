@@ -47,12 +47,16 @@ import numpy as np
 __all__ = ["StreamingTranscriber"]
 
 
-def _collapse_host(preds: np.ndarray, blank: int = 0) -> List[int]:
+def _collapse_host(preds: np.ndarray, blank: int = 0,
+                   prev: int = None) -> List[int]:
     """Host-side greedy CTC collapse of a 1-D frame-argmax sequence.
 
-    Matches ops.ctc.ctc_greedy_collapse (drop repeats, then blanks)."""
+    Matches ops.ctc.ctc_greedy_collapse (drop repeats, then blanks).
+    ``prev`` seeds the repeat-suppression state: after a forced window cut
+    that may have landed mid-token, passing the frame id at the cut prevents
+    the same token from being emitted again at the head of the new window."""
     out: List[int] = []
-    prev = blank
+    prev = blank if prev is None else prev
     for p in preds.tolist():
         if p != blank and p != prev:
             out.append(int(p))
@@ -113,7 +117,7 @@ class StreamingTranscriber:
         self._pending = 0          # samples since last forward
         self._committed: List[int] = []  # frozen token ids
         self._fresh: List[int] = []      # tokens decoded from live buffer
-        self._built = False
+        self._carry = self.blank   # frame id at the last window cut
         self._fwd_cache = {}
         self._finished = False
         self.device_seconds = 0.0  # cumulative device+fetch time
@@ -138,9 +142,10 @@ class StreamingTranscriber:
         pad[0, : len(audio)] = audio
         lens = np.array([len(audio)], np.int32)
         inputs = [pad, lens]
-        if not self._built:
+        if not getattr(self.model, "built", False):
+            # Build only when the model has never been built — an externally
+            # built model (e.g. with a loaded checkpoint) keeps its params.
             self.model.build(inputs, precision=self.precision)
-            self._built = True
         if bucket not in self._fwd_cache:
             model = self.model
 
@@ -171,7 +176,11 @@ class StreamingTranscriber:
             if cut_f <= 0:
                 cut_f = horizon_f  # forced cut: model emitted no blank run
             self._committed.extend(
-                _collapse_host(preds[:cut_f], self.blank))
+                _collapse_host(preds[:cut_f], self.blank, prev=self._carry))
+            # Seed the next collapse with the frame id at the cut so a token
+            # split by a forced cut is not emitted twice (blank-run cuts
+            # carry blank, preserving the old behavior).
+            self._carry = int(preds[cut_f - 1]) if cut_f > 0 else self._carry
             self._buffer = self._buffer[cut_f * self.FRAME_SAMPLES:]
             preds = preds[cut_f:]
         return preds
@@ -191,7 +200,7 @@ class StreamingTranscriber:
             self._pending = 0
             preds = self._forward_preds(self._buffer)
             preds = self._slide_window(preds)
-            self._fresh = _collapse_host(preds, self.blank)
+            self._fresh = _collapse_host(preds, self.blank, prev=self._carry)
         return {"text": self._text(), "final": False,
                 "buffered_seconds": len(self._buffer) / self.SAMPLE_RATE}
 
@@ -200,7 +209,9 @@ class StreamingTranscriber:
         if not self._finished:
             if len(self._buffer) >= self.FRAME_SAMPLES:
                 preds = self._forward_preds(self._buffer)
-                self._fresh = _collapse_host(preds, self.blank)
+                preds = self._slide_window(preds)
+                self._fresh = _collapse_host(preds, self.blank,
+                                             prev=self._carry)
             self._finished = True
         return {"text": self._text(), "final": True,
                 "device_seconds": self.device_seconds}

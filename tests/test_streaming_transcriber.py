@@ -147,11 +147,12 @@ def test_streaming_windowed_bounded_and_monotonic(tmp_path):
 
     st = StreamingTranscriber(m, dec, hop_seconds=0.5, window_seconds=3.0,
                               commit_margin_seconds=0.5)
-    # Pre-build + blank-suppression so commits carry real tokens.
+    # Pre-build + blank-suppression so commits carry real tokens. The
+    # transcriber respects an externally built model (m.built guard) — no
+    # state surgery needed.
     pad = np.zeros((1, st._bucket(16000)), np.float32)
     m.build([pad, np.array([16000], np.int32)])
     m.params = _diversify_head(m.params, _piece_ids(dec.tokenizer))
-    st._built = True
     committed_lens = []
     for start in range(0, len(audio), 8000):  # 500 ms pushes
         r = st.push(audio[start: start + 8000])

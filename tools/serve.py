@@ -71,10 +71,12 @@ def _batch_bucket(n: int) -> int:
 class Server:
     def __init__(self, mode: str = "ao", checkpoint: str = None,
                  tokenizer: str = "datasets/LRS3/tokenizerbpe256.json",
-                 decoder: str = "greedy"):
+                 decoder: str = "greedy", decoder_kwargs: dict = None,
+                 precision: str = "bfloat16"):
         import avec_tpu as nnet
 
         self.mode = mode
+        self.precision = precision
         if mode == "ao":
             self.model = nnet.AudioEfficientConformerInterCTC(interctc_blocks=[])
         elif mode == "vo":
@@ -91,7 +93,10 @@ class Server:
             if decoder == "greedy":
                 self.decoder = nnet.CTCGreedySearchDecoder(tokenizer)
             else:
-                self.decoder = nnet.CTCBeamSearchDecoder(tokenizer)
+                # Full eval decode stack: beam + optional 6-gram ARPA +
+                # optional GPT neural rescoring (ref nnet/decoders.py:185-242).
+                self.decoder = nnet.CTCBeamSearchDecoder(
+                    tokenizer, **(decoder_kwargs or {}))
         self._fwd_cache = {}
         self.latencies = []  # queue-to-response seconds, one per request
         self.rtfs = []
@@ -125,17 +130,23 @@ class Server:
         """Single-request inputs (B=1); kept for the argv path and tests."""
         return self._inputs_for_batch([req], bucket_len, 1)
 
+    # Batch-padding rows are zero audio/video with this many samples of
+    # valid length: short enough to cost nothing to compute or decode, long
+    # enough that every mask row has real frames (no all-masked attention).
+    PAD_ROW_SAMPLES = 2560  # 2 encoder frames at 12.5 Hz
+
     def _inputs_for_batch(self, reqs, bucket_len, batch_bucket):
         """Pad a list of requests into one (batch_bucket, bucket_len) batch.
 
-        Padding rows replicate request 0 (their outputs are discarded; real
-        data keeps every row numerically well-conditioned)."""
-        rows = list(reqs) + [reqs[0]] * (batch_bucket - len(reqs))
+        Padding rows are zero-filled with a tiny valid length — their
+        outputs are discarded before host decoding (transcribe_batch slices
+        to the real rows), so no decode time is wasted on them."""
+        pad_samples = min(self.PAD_ROW_SAMPLES, bucket_len)
 
         def audio_pack():
             pad = np.zeros((batch_bucket, bucket_len), np.float32)
-            lens = np.zeros((batch_bucket,), np.int32)
-            for i, r in enumerate(rows):
+            lens = np.full((batch_bucket,), pad_samples, np.int32)
+            for i, r in enumerate(reqs):
                 a = r["audio"]
                 pad[i, : len(a)] = a
                 lens[i] = len(a)
@@ -144,10 +155,10 @@ class Server:
         if self.mode == "ao":
             return audio_pack()
         vb = bucket_len // 640 + 1
-        vshape = rows[0]["video"].shape[1:]
+        vshape = reqs[0]["video"].shape[1:]
         vpad = np.zeros((batch_bucket, vb) + vshape, np.float32)
-        vlens = np.zeros((batch_bucket,), np.int32)
-        for i, r in enumerate(rows):
+        vlens = np.full((batch_bucket,), pad_samples // 640 + 1, np.int32)
+        for i, r in enumerate(reqs):
             v = r["video"]
             vpad[i, : v.shape[0]] = v
             vlens[i] = v.shape[0]
@@ -157,16 +168,22 @@ class Server:
         return vin + audio_pack()
 
     # ----------------------------------------------------------- forward
-    def _forward(self, inputs):
-        import jax
-
+    def ensure_built(self, inputs):
+        """Build the model and load the checkpoint exactly once. Shared by
+        the batch path and the streaming path (the latter previously
+        bypassed build+load and streamed with random weights)."""
         if not self._built:
-            self.model.build(inputs, precision="bfloat16")
+            self.model.build(inputs, precision=self.precision)
             if self.checkpoint and os.path.isfile(self.checkpoint):
                 self.model.load(self.checkpoint, load_optimizer=False)
             elif self.checkpoint:
                 raise FileNotFoundError(self.checkpoint)
             self._built = True
+
+    def _forward(self, inputs):
+        import jax
+
+        self.ensure_built(inputs)
         key = tuple(tuple(np.shape(a)) for a in inputs)
         if key not in self._fwd_cache:
             model = self.model
@@ -181,16 +198,13 @@ class Server:
                                     *inputs)
 
     # ------------------------------------------------------- transcription
-    def transcribe_batch(self, paths, enqueue_times=None):
-        """Transcribe a list of paths as ONE device batch.
+    def submit_batch(self, paths, enqueue_times=None):
+        """Load a batch and LAUNCH its device work; return a pending handle.
 
-        Returns one JSON-able dict per path, in order. Per-path load errors
-        yield {"file", "error"} entries; the remaining requests still run.
-        Latency is measured from enqueue_times[i] (defaults to now) to the
-        moment the request's result is ready — it includes queue wait,
-        preprocessing, device time and decoding."""
-        import jax
-
+        JAX dispatch is asynchronous — the handle holds device futures, so
+        the host is free to decode a previous batch (finish_batch) while
+        this one runs on the device. Per-path load errors become {"file",
+        "error"} results; the remaining requests still run."""
         if enqueue_times is None:
             enqueue_times = [time.perf_counter()] * len(paths)
         reqs, order, results = [], [], [None] * len(paths)
@@ -200,30 +214,56 @@ class Server:
                 order.append(i)
             except Exception as e:  # keep serving
                 results[i] = {"file": path, "error": str(e)}
+        pending = {"paths": paths, "times": enqueue_times, "order": order,
+                   "results": results, "n": len(reqs), "pre": None,
+                   "samples": []}
         if reqs:
             samples = [self._request_samples(r) for r in reqs]
             bucket_len = _bucket(max(samples))
             inputs = self._inputs_for_batch(reqs, bucket_len,
                                             _batch_bucket(len(reqs)))
             logits, lengths = self._forward(inputs)
+            pending["samples"] = samples
             if self.decoder is not None:
-                pre = jax.tree.map(np.asarray,
-                                   self.decoder.device_fn((logits, lengths)))
-                texts = self.decoder(pre)[: len(reqs)]
+                pending["pre"] = self.decoder.device_fn((logits, lengths))
             else:
-                texts = [None] * len(reqs)
+                pending["pre"] = ()
+        return pending
+
+    def finish_batch(self, pending):
+        """Fetch device outputs for a submitted batch, decode the REAL rows
+        only (padding rows never reach the host decoder), format results."""
+        import jax
+
+        n = pending["n"]
+        results, order = pending["results"], pending["order"]
+        if n:
+            if self.decoder is not None:
+                pre = jax.tree.map(lambda a: np.asarray(a)[:n],
+                                   pending["pre"])
+                texts = self.decoder(pre)
+            else:
+                texts = [None] * n
             done = time.perf_counter()
             for k, i in enumerate(order):
-                dt = done - enqueue_times[i]
-                dur = samples[k] / 16000.0
+                dt = done - pending["times"][i]
+                dur = pending["samples"][k] / 16000.0
                 self.latencies.append(dt)
                 self.rtfs.append(dt / max(dur, 1e-6))
-                results[i] = {"file": paths[i], "text": texts[k],
+                results[i] = {"file": pending["paths"][i], "text": texts[k],
                               "latency_s": round(dt, 4),
                               "rtf": round(dt / max(dur, 1e-6), 5),
-                              "batch_size": len(reqs),
+                              "batch_size": n,
                               "compiled_buckets": len(self._fwd_cache)}
         return results
+
+    def transcribe_batch(self, paths, enqueue_times=None):
+        """Transcribe a list of paths as ONE device batch (submit+finish).
+
+        Latency is measured from enqueue_times[i] (defaults to now) to the
+        moment the request's result is ready — it includes queue wait,
+        preprocessing, device time and decoding."""
+        return self.finish_batch(self.submit_batch(paths, enqueue_times))
 
     def transcribe(self, path: str):
         return self.transcribe_batch([path])[0]
@@ -246,7 +286,12 @@ def _stdin_loop(srv, max_batch: int, window_ms: float, out=sys.stdout):
     """Batching request loop: block on the first pending path, then linger
     up to window_ms gathering more (bounded by max_batch) before running
     one device batch. Under load the window fills instantly; when idle a
-    single request pays at most the linger."""
+    single request pays at most the linger.
+
+    Host/device pipelining (one-deep): batch N is submitted to the device
+    (async dispatch) BEFORE batch N-1's host decode runs, so beam+LM decode
+    of N-1 overlaps device compute of N. When the queue is empty the
+    pending batch is finished immediately — idle latency is unchanged."""
     q = queue.Queue()
     EOF = object()
 
@@ -257,6 +302,12 @@ def _stdin_loop(srv, max_batch: int, window_ms: float, out=sys.stdout):
         q.put((EOF, None))
 
     threading.Thread(target=reader, daemon=True).start()
+    pending = None  # one-deep device pipeline
+
+    def emit(batch_pending):
+        for r in srv.finish_batch(batch_pending):
+            print(json.dumps(r), file=out, flush=True)
+
     while True:
         path, t0 = q.get()
         if path is EOF:
@@ -277,10 +328,17 @@ def _stdin_loop(srv, max_batch: int, window_ms: float, out=sys.stdout):
                 break
             batch.append(p)
             times.append(t)
-        for r in srv.transcribe_batch(batch, times):
-            print(json.dumps(r), file=out, flush=True)
+        submitted = srv.submit_batch(batch, times)  # device starts now
+        if pending is not None:
+            emit(pending)  # host decode overlaps the running device batch
+        pending = submitted
+        if eof or q.empty():
+            emit(pending)
+            pending = None
         if eof:
             break
+    if pending is not None:
+        emit(pending)
 
 
 def _stream_file(srv, path: str, chunk_ms: float, window_s: float,
@@ -291,8 +349,14 @@ def _stream_file(srv, path: str, chunk_ms: float, window_s: float,
     from avec_tpu.decode.streaming import StreamingTranscriber
 
     audio = srv.load_request(path)["audio"]
+    # Build + checkpoint-load through the same path as batch serving (same
+    # precision, same weights) BEFORE streaming: the transcriber honors an
+    # already-built model and will not re-initialize it.
+    warm = np.zeros((1, 4000), np.float32)
+    srv.ensure_built([warm, np.array([4000], np.int32)])
     st = StreamingTranscriber(srv.model, srv.decoder,
-                              window_seconds=window_s or None)
+                              window_seconds=window_s or None,
+                              precision=srv.precision)
     step = max(1, int(chunk_ms * 16))
     last = None
     for start in range(0, len(audio), step):
@@ -316,6 +380,19 @@ def main():
     ap.add_argument("--tokenizer",
                     default="datasets/LRS3/tokenizerbpe256.json")
     ap.add_argument("--decoder", choices=["greedy", "beam"], default="greedy")
+    ap.add_argument("--beam_size", type=int, default=16)
+    ap.add_argument("--ngram", default=None,
+                    help="ARPA n-gram LM path for --decoder beam "
+                         "(ref: 6gram_lrs23.arpa)")
+    ap.add_argument("--ngram_alpha", type=float, default=0.6)
+    ap.add_argument("--ngram_beta", type=float, default=1.0)
+    ap.add_argument("--ngram_tmp", type=float, default=1.0)
+    ap.add_argument("--neural_config", default=None,
+                    help="LM config module for GPT beam rescoring "
+                         "(ref: configs/LRS23/LM/GPT-Small.py)")
+    ap.add_argument("--neural_checkpoint", default=None,
+                    help="LM checkpoint filename inside the config's "
+                         "callback_path")
     ap.add_argument("--stdin", action="store_true",
                     help="serve request paths from stdin, one per line")
     ap.add_argument("--max_batch", type=int, default=8,
@@ -330,15 +407,30 @@ def main():
     ap.add_argument("--stream_window_s", type=float, default=0.0,
                     help="--stream bounded audio window (0 = unbounded)")
     args = ap.parse_args()
+    if args.stream and args.mode != "ao":
+        ap.error("--stream is audio-only (use --mode ao)")
+    if args.stream and not args.paths:
+        ap.error("--stream requires at least one wav path")
+    if (args.ngram or args.neural_config) and args.decoder != "beam":
+        ap.error("--ngram/--neural_config require --decoder beam")
 
+    decoder_kwargs = {}
+    if args.decoder == "beam":
+        decoder_kwargs = dict(beam_size=args.beam_size,
+                              ngram_path=args.ngram,
+                              ngram_alpha=args.ngram_alpha,
+                              ngram_beta=args.ngram_beta,
+                              ngram_tmp=args.ngram_tmp,
+                              neural_config_path=args.neural_config,
+                              neural_checkpoint=args.neural_checkpoint)
     srv = Server(mode=args.mode, checkpoint=args.checkpoint,
-                 tokenizer=args.tokenizer, decoder=args.decoder)
+                 tokenizer=args.tokenizer, decoder=args.decoder,
+                 decoder_kwargs=decoder_kwargs)
     if not args.checkpoint:
         print("WARNING: no checkpoint — transcriptions will be noise",
               file=sys.stderr)
 
     if args.stream:
-        assert args.mode == "ao", "--stream is audio-only"
         for path in args.paths:
             _stream_file(srv, path, args.chunk_ms, args.stream_window_s)
     elif args.paths:
