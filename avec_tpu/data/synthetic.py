@@ -105,3 +105,76 @@ class SyntheticClassificationDataset(Dataset):
         video = rng.rand(self.video_len, *self.crop_size, 1).astype(np.float32)
         label = np.int32(rng.randint(self.num_classes))
         return (video, label)
+
+
+class ToneSpeechDataset(Dataset):
+    """LEARNABLE synthetic 'speech': each token is a 100 ms sinusoid burst at
+    a token-specific frequency with 50 ms gaps — the full AO pipeline must
+    learn to transcribe it (the self-contained stand-in for the
+    license-gated LRS data; see tools/convergence_demo.py and the
+    configs/Synthetic lifecycle config)."""
+
+    def __init__(self, num_samples=512, vocab_size=32, min_len=2, max_len=8,
+                 sr=16000, seed=0, batch_size=16, collate_fn=None,
+                 shuffle=True):
+        from avec_tpu.data.collate import CollateFn
+
+        if collate_fn is None:
+            collate_fn = CollateFn(
+                inputs_params=[{"axis": 0, "padding": True}, {"axis": 1}],
+                targets_params=({"axis": 2, "padding": True}, {"axis": 3}))
+        super().__init__(batch_size=batch_size, collate_fn=collate_fn,
+                         shuffle=shuffle)
+        self.num_samples = num_samples
+        self.vocab_size = vocab_size
+        self.min_len, self.max_len = min_len, max_len
+        self.sr = sr
+        self.seed = seed
+
+    def __len__(self):
+        return self.num_samples
+
+    def __getitem__(self, idx):
+        rng = np.random.RandomState(self.seed + idx)
+        n = rng.randint(self.min_len, self.max_len + 1)
+        tokens = rng.randint(1, self.vocab_size, size=n).astype(np.int32)
+        burst = int(0.1 * self.sr)
+        gap = int(0.05 * self.sr)
+        t = np.arange(burst) / self.sr
+        pieces = []
+        for tok in tokens:
+            freq = 200.0 + 120.0 * tok
+            env = np.hanning(burst)
+            pieces.append((np.sin(2 * np.pi * freq * t) * env)
+                          .astype(np.float32))
+            pieces.append(np.zeros(gap, np.float32))
+        audio = np.concatenate(pieces) * 0.3
+        true_len = audio.shape[0]
+        # Fixed shapes: ONE train-step compilation; true lengths mask pad.
+        max_audio = self.max_len * (burst + gap)
+        audio = np.pad(audio, (0, max_audio - true_len))
+        audio += rng.randn(max_audio).astype(np.float32) * 0.01
+        tokens_fixed = np.zeros(self.max_len, np.int32)
+        tokens_fixed[:n] = tokens
+        return (audio.astype(np.float32), np.int32(true_len),
+                tokens_fixed, np.int32(n))
+
+    def token_ids(self, idx):
+        """Ground-truth token ids of sample idx (same RNG as __getitem__)."""
+        rng = np.random.RandomState(self.seed + idx)
+        n = rng.randint(self.min_len, self.max_len + 1)
+        return rng.randint(1, self.vocab_size, size=n).astype(np.int32)
+
+    def corpus_lines(self, limit=None):
+        """Ground-truth transcripts ('w3 w17 ...') — tokenizer/LM training."""
+        return [" ".join(f"w{t}" for t in self.token_ids(i))
+                for i in range(min(self.num_samples,
+                                   limit or self.num_samples))]
+
+
+def tone_tokenizer(vocab_size: int):
+    """Word-per-token tokenizer matching ToneSpeechDataset ids."""
+    from avec_tpu.utils.tokenizer import WORD_BOUNDARY, Tokenizer
+
+    pieces = ["<unk>"] + [f"{WORD_BOUNDARY}w{i}" for i in range(1, vocab_size)]
+    return Tokenizer(pieces)

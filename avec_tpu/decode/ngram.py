@@ -91,3 +91,59 @@ class ArpaLM:
             total += self.log10_cond(w, history)
             history.append(w)
         return total
+
+
+def estimate_arpa(sequences: Sequence[Sequence[str]], path: str,
+                  order: int = 2, add_k: float = 0.1) -> str:
+    """Estimate a backoff n-gram LM from word sequences and write ARPA.
+
+    Add-k smoothed MLE with simple interpolation-style backoff weights —
+    the offline stand-in for KenLM's lmplz (network-gated here) used by the
+    synthetic lifecycle config to exercise the beam + n-gram decode stack
+    with a real (non-random) LM. Suffix property holds by construction
+    (every observed n-gram's suffix is an observed (n-1)-gram)."""
+    import math
+
+    counts = [ {} for _ in range(order + 1) ]  # n -> tuple -> count
+    vocab = set()
+    for seq in sequences:
+        words = list(seq)
+        vocab.update(words)
+        toks = ["<s>"] + words + ["</s>"]
+        for n in range(1, order + 1):
+            for i in range(len(toks) - n + 1):
+                g = tuple(toks[i: i + n])
+                if n == 1 and g == ("<s>",):
+                    pass  # unigram <s> carries prob 0 conventionally
+                counts[n][g] = counts[n].get(g, 0) + 1
+    vocab = sorted(vocab) + ["<s>", "</s>"]
+    v = len(vocab)
+
+    def cond_log10(g):
+        n = len(g)
+        c = counts[n].get(g, 0)
+        denom = (counts[n - 1].get(g[:-1], 0) if n > 1
+                 else sum(counts[1].values()))
+        return math.log10((c + add_k) / (denom + add_k * v))
+
+    lines = ["\\data\\"]
+    grams = []
+    for n in range(1, order + 1):
+        if n == 1:
+            g_n = [(w,) for w in vocab]
+        else:
+            g_n = sorted(counts[n])
+        grams.append(g_n)
+        lines.append(f"ngram {n}={len(g_n)}")
+    lines.append("")
+    for n in range(1, order + 1):
+        lines.append(f"\\{n}-grams:")
+        for g in grams[n - 1]:
+            p = LOG10_NEG_INF if g == ("<s>",) else cond_log10(g)
+            bo = "\t-0.3" if n < order else ""
+            lines.append(f"{p:.6f}\t{' '.join(g)}{bo}")
+        lines.append("")
+    lines.append("\\end\\")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path

@@ -93,14 +93,25 @@ class AttentionModule(nn.Module):
     residual: bool = True
 
     @nn.compact
-    def __call__(self, x, mask=None, deterministic: bool = True):
+    def __call__(self, x, mask=None, deterministic: bool = True,
+                 hidden=None, return_hidden: bool = False):
         x_res = x
         x = LayerNorm(epsilon=1e-6)(x)
-        x = make_attention(self.dim_model, self.att_params)(
-            x, mask=mask, deterministic=deterministic)
+        att = make_attention(self.dim_model, self.att_params)
+        new_hidden = None
+        if return_hidden:
+            # Streaming: KV-cache attention (RelPosMultiHeadSelfAttention,
+            # ref nnet/attentions.py:482-519). `hidden` holds the projected
+            # K/V of past frames; the layer returns the updated cache.
+            x, new_hidden = att(x, mask=mask, deterministic=deterministic,
+                                hidden=hidden, return_hidden=True)
+        else:
+            x = att(x, mask=mask, deterministic=deterministic)
         x = Dropout(self.drop_rate)(x, deterministic=deterministic)
         if self.residual:
             x = x + x_res
+        if return_hidden:
+            return x, new_hidden
         return x
 
 
@@ -124,12 +135,14 @@ class ConvolutionModule(nn.Module):
     transposed: bool = False  # upsampling variant (ref blocks.py:269-280)
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, state=None,
+                 return_state: bool = False):
         from avec_tpu.ops.layers import ConvTranspose
 
         x = LayerNorm(epsilon=1e-6)(x)
         x = Conv(2 * self.dim_expand, kernel_size=1, ndim=1)(x)
         x = glu(x, axis=-1)
+        new_state = None
         if self.transposed:
             # out = T * stride: padding (k-1)//2, output_padding stride-1.
             x = ConvTranspose(self.dim_expand, kernel_size=self.kernel_size,
@@ -137,10 +150,20 @@ class ConvolutionModule(nn.Module):
                               padding=(self.kernel_size - 1) // 2,
                               output_padding=max(self.stride - 1, 0))(x)
         else:
+            padding = self.padding
+            if return_state:
+                # Streaming (causal padding only): the carried tail is the
+                # last k-1 GLU-output frames; conv VALID over concat(tail,
+                # chunk) == the causal conv over the full sequence, so
+                # chunked and offline outputs are identical.
+                assert self.padding == "causal", "streaming needs causal conv"
+                x = jnp.concatenate([state.astype(x.dtype), x], axis=1)
+                new_state = x[:, -(self.kernel_size - 1):]
+                padding = "valid"
             # bias_stop_gradient: training-mode BN follows, so the bias
             # gradient is exactly zero (see ops/layers.Conv).
             x = Conv(self.dim_expand, kernel_size=self.kernel_size, ndim=1,
-                     strides=self.stride, padding=self.padding,
+                     strides=self.stride, padding=padding,
                      groups=self.dim_expand,
                      bias_stop_gradient=(self.batch_norm
                                          and not deterministic))(x)
@@ -150,7 +173,10 @@ class ConvolutionModule(nn.Module):
             x = LayerNorm()(x)
         x = get_act(self.act_fun)(x)
         x = Conv(self.dim_expand, kernel_size=1, ndim=1)(x)
-        return Dropout(self.drop_rate)(x, deterministic=deterministic)
+        x = Dropout(self.drop_rate)(x, deterministic=deterministic)
+        if return_state:
+            return x, new_state
+        return x
 
 
 class InterCTCResModule(nn.Module):
@@ -218,25 +244,38 @@ class ConformerBlock(nn.Module):
         return self.conv_stride
 
     @nn.compact
-    def __call__(self, x, mask=None, deterministic: bool = True):
+    def __call__(self, x, mask=None, deterministic: bool = True,
+                 state=None, return_state: bool = False):
         x = x + 0.5 * FeedForwardModule(
             dim_model=self.dim_model, dim_ffn=self.dim_model * self.ff_ratio,
             drop_rate=self.drop_rate, act_fun=self.act_fun,
             inner_dropout=self.inner_dropout, name="ff_module1")(
                 x, deterministic=deterministic)
 
-        x = x + AttentionModule(
+        new_state = {}
+        att_module = AttentionModule(
             dim_model=self.dim_model, att_params=self.att_params,
-            drop_rate=self.drop_rate, residual=False, name="self_att_module")(
-                x, mask=mask, deterministic=deterministic)
+            drop_rate=self.drop_rate, residual=False, name="self_att_module")
+        if return_state:
+            att_out, new_state["att"] = att_module(
+                x, mask=mask, deterministic=deterministic,
+                hidden=state["att"], return_hidden=True)
+            x = x + att_out
+        else:
+            x = x + att_module(x, mask=mask, deterministic=deterministic)
 
-        conv_out = ConvolutionModule(
+        conv_module = ConvolutionModule(
             dim_model=self.dim_model, dim_expand=self.dim_expand,
             drop_rate=self.drop_rate, stride=self.conv_stride,
             act_fun=self.act_fun, kernel_size=self.kernel_size,
             padding=self.conv_padding, batch_norm=self.batch_norm,
-            transposed=self.transposed,
-            name="conv_module")(x, deterministic=deterministic)
+            transposed=self.transposed, name="conv_module")
+        if return_state:
+            conv_out, new_state["conv"] = conv_module(
+                x, deterministic=deterministic, state=state["conv"],
+                return_state=True)
+        else:
+            conv_out = conv_module(x, deterministic=deterministic)
 
         if self.dim_model != self.dim_expand:
             if self.transposed:
@@ -268,6 +307,8 @@ class ConformerBlock(nn.Module):
 
         if self.block_norm:
             x = LayerNorm(epsilon=1e-6)(x)
+        if return_state:
+            return x, new_state
         return x
 
 
@@ -282,6 +323,22 @@ class _BlockScanCell(nn.Module):
         y = ConformerBlock(**self.block_kwargs, name="block")(
             x, mask=mask, deterministic=self.deterministic)
         return y, None
+
+
+class _BlockScanCellStream(nn.Module):
+    """Streaming scan cell: same params as _BlockScanCell ("block" child),
+    but threads per-layer KV-cache + conv-tail state (stacked on the scan
+    axis) through the run."""
+
+    block_kwargs: Dict
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, x, mask, state):
+        y, new_state = ConformerBlock(**self.block_kwargs, name="block")(
+            x, mask=mask, deterministic=self.deterministic,
+            state=state, return_state=True)
+        return y, new_state
 
 
 class ConformerInterCTC(nn.Module):
@@ -352,6 +409,7 @@ class ConformerInterCTC(nn.Module):
                                 conv_padding=self.conv_padding,
                                 batch_norm=self.batch_norm),
                     interctc=(i + 1) in interctc,
+                    stage_id=stage_id,
                     stride=stride, dim_out=dim_out))
                 i += 1
 
@@ -375,8 +433,22 @@ class ConformerInterCTC(nn.Module):
             runs.append(current)
         return runs
 
+    def stream_plan(self):
+        """Static run descriptions for a streaming driver: one entry per
+        _block_plan run with (n_layers, stage_id, dim_model, dim_expand,
+        kernel_size, stride, scanned)."""
+        return [dict(n_layers=len(run), stage_id=run[0]["stage_id"],
+                     dim_model=run[0]["kwargs"]["dim_model"],
+                     dim_expand=run[0]["kwargs"]["dim_expand"],
+                     kernel_size=self.kernel_size,
+                     stride=run[-1]["stride"], scanned=len(run) > 1)
+                for run in self._block_plan()]
+
     @nn.compact
-    def __call__(self, x, lengths=None, mask=None, deterministic: bool = True):
+    def __call__(self, x, lengths=None, mask=None, deterministic: bool = True,
+                 stream_state=None):
+        if stream_state is not None:
+            return self._stream_forward(x, mask, stream_state, deterministic)
         x = Dropout(self.drop_rate)(x, deterministic=deterministic)
 
         interctc_outputs = {}
@@ -418,6 +490,49 @@ class ConformerInterCTC(nn.Module):
                     interctc_outputs[key] = [logits, lengths]
 
         return x, lengths, interctc_outputs
+
+    def _stream_forward(self, x, masks, stream_state, deterministic):
+        """Chunked forward with carried per-block state (causal configs).
+
+        `masks` is a per-stage list of (B, 1, c_s, L_s + c_s) streaming
+        attention masks; `stream_state` one pytree per _block_plan run
+        (stacked along axis 0 for scanned runs): {"att": {"K", "V"} fixed-
+        size right-aligned KV caches, "conv": (k-1)-frame conv tails}.
+        Returns (x, new_states, interctc_outputs); the driver trims the
+        returned caches back to their fixed sizes. Parameter paths are
+        identical to the offline path (same scan grouping and names)."""
+        x = Dropout(self.drop_rate)(x, deterministic=deterministic)
+        interctc_outputs = {}
+        new_states = []
+        for si, run in enumerate(self._block_plan()):
+            m = (masks[run[0]["stage_id"]]
+                 if isinstance(masks, (list, tuple)) else masks)
+            if len(run) > 1:
+                first, last = run[0]["index"], run[-1]["index"]
+                scan = nn.scan(
+                    _BlockScanCellStream,
+                    variable_axes={"params": 0, "batch_stats": 0},
+                    split_rngs={"params": True, "dropout": True},
+                    in_axes=(nn.broadcast, 0), out_axes=0,
+                    length=len(run),
+                )(block_kwargs=run[0]["kwargs"], deterministic=deterministic,
+                  name=f"blocks_{first}_{last}")
+                x, new_s = scan(x, m, stream_state[si])
+                new_states.append(new_s)
+                continue
+            b = run[0]
+            x, new_s = ConformerBlock(**b["kwargs"],
+                                      name=f"block_{b['index']}")(
+                x, mask=m, deterministic=deterministic,
+                state=stream_state[si], return_state=True)
+            new_states.append(new_s)
+            if b["interctc"]:
+                x, logits = InterCTCResModule(
+                    dim_model=b["dim_out"], vocab_size=self.vocab_size,
+                    name=f"interctc_{b['index']}")(x)
+                interctc_outputs[f"{self.loss_prefix}_{b['index']}"] = [
+                    logits, None]
+        return x, new_states, interctc_outputs
 
 
 class MultiLayerPerceptron(nn.Module):

@@ -148,8 +148,13 @@ class FusedVideoStem(nn.Module):
                             + (1 - self.momentum) * unbiased)
         yn = ((y.astype(jnp.float32) - mean) * lax.rsqrt(var + self.epsilon)
               * scale + bn_bias).astype(y.dtype)
-        z = jnp.maximum(yn, 0)
-        return max_pool(z, (3, 3), (2, 2), padding="same")
+        # max commutes with the monotone ReLU: relu(max_pool(yn)) ==
+        # max_pool(relu(yn)) exactly, but pooling FIRST applies ReLU to the
+        # 4x-smaller pooled tensor (saves a 586 MB activation round-trip at
+        # B=16) and removes exact-0 ties from the pool's backward argmax
+        # (gradients match the reference's relu-then-pool a.s.: yn is
+        # continuous, so the window argmax is unique).
+        return jnp.maximum(max_pool(yn, (3, 3), (2, 2), padding="same"), 0)
 
     def _pallas_path(self, xp, kp, bias, scale, bn_bias, ra_mean, ra_var,
                      b, t, deterministic):
@@ -232,18 +237,41 @@ class AudioEfficientConformerEncoder(nn.Module):
     # Pallas flash attention for the RelPos1d layers (long-sequence
     # training: no (T, T) HBM tensor forward or backward).
     use_flash: bool = False
+    # Causal-streaming variant (beyond parity; built from the reference's
+    # own streaming mechanisms: Transformer-XL causal rel-pos attention
+    # nnet/attentions.py:384-554 + "causal" conv padding nnet/layers.py):
+    # stem and conformer convs pad causally in time, attention uses
+    # RelPosMultiHeadSelfAttention with a causal band mask. left_context
+    # (in stage-1 / 50 Hz frames) bounds the attention history; mask
+    # restriding halves it per stage, so a streaming decoder with per-stage
+    # KV caches of left_context/2^s keys reproduces offline outputs EXACTLY.
+    causal: bool = False
+    left_context: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x, lengths, training: bool = False):
+    def __call__(self, x, lengths, training: bool = False,
+                 stream_state=None, stream_masks=None):
         # Params hardcoded in the reference (networks.py:316-333).
         n_mels, kernel_size = 80, 15
         drop_rate, attn_drop_rate = 0.1, 0.0
-        max_pos_encoding, causal = 10000, False
+        max_pos_encoding, causal = 10000, self.causal
         subsampling_filters = 180
         dim_model = [180, 256, 360]
         num_heads = 4
 
         compute_dtype = x.dtype if x.dtype in (jnp.bfloat16, jnp.float16) else jnp.float32
+
+        if stream_state is not None:
+            # Streaming step (causal config only): x is a pre-computed
+            # fbank chunk (B, n_mels, Tc) from the driver (which carries the
+            # raw-sample tail for exact chunked fbank); see
+            # decode/causal_streaming.py.
+            assert causal, "streaming requires the causal encoder"
+            return self._stream_step(x, stream_state, stream_masks,
+                                     subsampling_filters, dim_model,
+                                     num_heads, kernel_size, drop_rate,
+                                     attn_drop_rate, max_pos_encoding,
+                                     compute_dtype)
 
         # Audio preprocessing: (B, Ta) -> (B, n_mels, T'), fp32 internally.
         ap = AudioPreprocessing(sample_rate=16000, n_fft=512, win_length_ms=25,
@@ -256,10 +284,12 @@ class AudioEfficientConformerEncoder(nn.Module):
             x = sa(x, lengths, self.make_rng("augment"), training=True)
 
         # (B, n_mels, T') -> (B, n_mels, T', 1) -> stem -> (B, 40, T'', 180)
+        # Causal variant: centered in frequency, causal in time.
         x = x[..., None].astype(compute_dtype)
         x, lengths = ConvNeuralNetwork(
             dim_layers=subsampling_filters, kernel_size=3, strides=2,
             norm="BatchNorm2d", act_fun="Swish", ndim=2, polyphase=True,
+            padding=("same", "causal") if causal else "same",
             name="subsampling_module")(x, lengths, deterministic=not training)
 
         # Flatten frequency into features: (B, F', T'', C) -> (B, T'', F'*C).
@@ -267,23 +297,80 @@ class AudioEfficientConformerEncoder(nn.Module):
         x = x.transpose(0, 2, 1, 3).reshape(b, t, f * c)
         x = Linear(dim_model[0], name="linear")(x)
 
-        mask = make_mask(t, lengths)
+        if causal:
+            # Causal band mask; left_context (stage-1 frames) bounds the
+            # attention history and halves per stage under mask restriding.
+            mask = make_mask(t, lengths, left_context=self.left_context,
+                             right_context=0)
+            xl = {"class": "RelPosMultiHeadSelfAttention",
+                  "params": {"num_heads": num_heads,
+                             "attn_drop_rate": attn_drop_rate,
+                             "max_pos_encoding": max_pos_encoding,
+                             "causal": True}}
+            att_params = [xl, xl, xl]
+        else:
+            mask = make_mask(t, lengths)
+            att_params = _att_params_audio(self.att_type, num_heads,
+                                           attn_drop_rate, max_pos_encoding,
+                                           causal, use_flash=self.use_flash)
 
         x, lengths, interctc_outputs = ConformerInterCTC(
             dim_model=dim_model, num_blocks=list(self.num_blocks),
             interctc_blocks=list(self.interctc_blocks),
             vocab_size=self.vocab_size,
-            att_params=_att_params_audio(self.att_type, num_heads,
-                                         attn_drop_rate, max_pos_encoding,
-                                         causal, use_flash=self.use_flash),
+            att_params=att_params,
             kernel_size=kernel_size, ff_ratio=4, drop_rate=drop_rate,
             conv_stride=2, batch_norm=True, loss_prefix=self.loss_prefix,
+            conv_padding="causal" if causal else "same",
             remat=self.remat,
             name="back_end")(x, lengths, mask, deterministic=not training)
 
         if self.include_head:
             x = Linear(self.vocab_size, name="head")(x)
         return x, lengths, interctc_outputs
+
+    def _stream_step(self, x, state, masks, subsampling_filters, dim_model,
+                     num_heads, kernel_size, drop_rate, attn_drop_rate,
+                     max_pos_encoding, compute_dtype):
+        """One streaming chunk through stem + conformer with carried state.
+
+        x: (B, n_mels, Tc) fbank chunk, Tc even. state: {"stem": (B, n_mels,
+        2, 1) fbank tail, "blocks": per-run conformer states}. masks: per-
+        stage streaming attention masks. Module names/params are identical
+        to the offline path. Returns (logits, interctc, new_state)."""
+        x = x[..., None].astype(compute_dtype)
+        # Causal stem via carried tail: conv VALID over concat(tail, chunk)
+        # in time == the offline ("same", "causal") stem.
+        x = jnp.concatenate([state["stem"].astype(x.dtype), x], axis=2)
+        new_stem = {"stem": x[:, :, -2:, :]}
+        x = ConvNeuralNetwork(
+            dim_layers=subsampling_filters, kernel_size=3, strides=2,
+            norm="BatchNorm2d", act_fun="Swish", ndim=2, polyphase=True,
+            padding=("same", "valid"),
+            name="subsampling_module")(x, None, deterministic=True)
+        b, f, t, c = x.shape
+        x = x.transpose(0, 2, 1, 3).reshape(b, t, f * c)
+        x = Linear(dim_model[0], name="linear")(x)
+
+        xl = {"class": "RelPosMultiHeadSelfAttention",
+              "params": {"num_heads": num_heads,
+                         "attn_drop_rate": attn_drop_rate,
+                         "max_pos_encoding": max_pos_encoding,
+                         "causal": True}}
+        x, new_blocks, interctc_outputs = ConformerInterCTC(
+            dim_model=dim_model, num_blocks=list(self.num_blocks),
+            interctc_blocks=list(self.interctc_blocks),
+            vocab_size=self.vocab_size,
+            att_params=[xl, xl, xl],
+            kernel_size=kernel_size, ff_ratio=4, drop_rate=drop_rate,
+            conv_stride=2, batch_norm=True, loss_prefix=self.loss_prefix,
+            conv_padding="causal", remat=self.remat,
+            name="back_end")(x, None, masks, deterministic=True,
+                             stream_state=state["blocks"])
+        if self.include_head:
+            x = Linear(self.vocab_size, name="head")(x)
+        new_stem["blocks"] = new_blocks
+        return x, interctc_outputs, new_stem
 
 
 class VisualEfficientConformerEncoder(nn.Module):
@@ -317,6 +404,16 @@ class VisualEfficientConformerEncoder(nn.Module):
         b, t = x.shape[0], x.shape[1]
 
         mode = self.stem_mode if self.stem_mode is not None else _stem_mode()
+        if mode in ("2d", "pallas") and tuple(x.shape[2:]) != (88, 88, 1):
+            # The fused stem's dt-unroll is validated for the AVEC 88x88
+            # grayscale input; other shapes silently losing the ~43% stem
+            # win would be invisible — say so once at trace time.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "FusedVideoStem supports (88, 88, 1) input; got %s — "
+                "falling back to the slower 5-D conv stem",
+                tuple(x.shape[2:]))
         if mode in ("2d", "pallas") and tuple(x.shape[2:]) == (88, 88, 1):
             # Layout-restructured stem (same params/math as the 5-D path,
             # see FusedVideoStem): returns flattened (B*T, 22, 22, 64).

@@ -84,29 +84,48 @@ class _AudioInterCTCNet(nn.Module):
     att_type: str = "patch"
     interctc_blocks: Sequence[int] = (3, 6, 10, 13)
     use_flash: bool = False
+    causal: bool = False
+    left_context: Optional[int] = None
 
     @nn.compact
-    def __call__(self, audio, audio_len, training: bool = False):
-        x, lengths, inter = AudioEfficientConformerEncoder(
+    def __call__(self, audio, audio_len, training: bool = False,
+                 stream_state=None, stream_masks=None):
+        encoder = AudioEfficientConformerEncoder(
             vocab_size=self.vocab_size, att_type=self.att_type,
             interctc_blocks=list(self.interctc_blocks),
             use_flash=self.use_flash,
-            name="encoder")(audio, audio_len, training=training)
+            causal=self.causal, left_context=self.left_context,
+            name="encoder")
+        if stream_state is not None:
+            # Streaming chunk step: audio is a fbank chunk; returns
+            # (logits, new_state) for decode/causal_streaming.py.
+            logits, _, new_state = encoder(
+                audio, audio_len, training=False,
+                stream_state=stream_state, stream_masks=stream_masks)
+            return logits, new_state
+        x, lengths, inter = encoder(audio, audio_len, training=training)
         outputs = {"outputs": [x, lengths]}
         outputs.update(inter)
         return outputs
 
 
 class AudioEfficientConformerInterCTC(Model):
-    """ref: models_zoo.py:64-97."""
+    """ref: models_zoo.py:64-97.
+
+    causal=True selects the causal-streaming variant (causal stem/conv
+    padding + Transformer-XL causal attention bounded to `left_context`
+    stage-1 frames) — beyond reference parity; see
+    AudioEfficientConformerEncoder and decode/causal_streaming.py."""
 
     def __init__(self, vocab_size: int = 256, att_type: str = "patch",
                  interctc_blocks: Sequence[int] = (3, 6, 10, 13),
-                 use_flash: bool = False):
+                 use_flash: bool = False, causal: bool = False,
+                 left_context: Optional[int] = None):
         super().__init__(name="Audio Efficient Conformer Inter CTC")
         self.net = _AudioInterCTCNet(vocab_size=vocab_size, att_type=att_type,
                                      interctc_blocks=tuple(interctc_blocks),
-                                     use_flash=use_flash)
+                                     use_flash=use_flash, causal=causal,
+                                     left_context=left_context)
 
     def compile(self, losses=None,
                 loss_weights=(0.5 / 4, 0.5 / 4, 0.5 / 4, 0.5 / 4, 0.5),

@@ -30,6 +30,8 @@ per batch element); everything is einsum -> MXU.
 
 from typing import Any, Optional
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -167,10 +169,11 @@ class RelPos1dMultiHeadAttention(MultiHeadAttention):
 
     num_pos_embeddings: int = 10000
     causal: bool = False
-    # Benchmarked on v5e at AVEC's operating point (post-stride T <= ~300):
-    # the skew path wins (695 vs 631 utt/s train) because the (T, 2T-1)
-    # intermediates are small there; factorized wins for long sequences.
-    factorized: bool = False
+    # None = AVEC_TPU_FACTORIZED_ATT env (default off). The round-1 skew-vs-
+    # factorized decision (695 vs 631 utt/s) was made with the dispatch-rate
+    # timing later found broken (ROUND_NOTES round-2 correction) — the env
+    # hook lets the choice be re-measured honestly per hardware.
+    factorized: Optional[bool] = None
     # Pallas flash kernel (ops/pallas_attention.py) over the factorized
     # form: no O(T^2) HBM intermediates at all. Inference/long-context path
     # (the kernel is forward-only; training uses the XLA paths).
@@ -251,7 +254,9 @@ class RelPos1dMultiHeadAttention(MultiHeadAttention):
                 self.num_heads, lengths=lengths)
             return self._proj_out(_merge_heads(o))
         scores_k = jnp.einsum("bhqd,bhkd->bhqk", q, k)
-        if self.factorized and not self.causal:
+        factorized = (self.factorized if self.factorized is not None
+                      else os.environ.get("AVEC_TPU_FACTORIZED_ATT", "0") == "1")
+        if factorized and not self.causal:
             scores_e = self._rel_scores_factorized(q, t)
         else:
             # (1, 2T-1, D) -> (1, H, 2T-1, d); shared across the batch.
@@ -319,6 +324,11 @@ class RelPosMultiHeadSelfAttention(MultiHeadAttention):
         self.pos_layer = Linear(self.dim_model, name="pos_layer")
         self.u = self.param("u", nn.initializers.zeros, (self.dim_model,))
         self.v_bias = self.param("v", nn.initializers.zeros, (self.dim_model,))
+
+    def __call__(self, x, mask=None, deterministic: bool = True,
+                 hidden=None, return_hidden: bool = False):
+        return self.forward_qkv(x, x, x, mask, deterministic,
+                                hidden=hidden, return_hidden=return_hidden)
 
     def forward_qkv(self, q_in, k_in, v_in, mask=None, deterministic: bool = True,
                     hidden=None, return_hidden: bool = False):

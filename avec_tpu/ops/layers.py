@@ -49,7 +49,11 @@ def _tuple(v, n):
 
 
 def conv_padding(kernel_size: Tuple[int, ...], padding: PaddingLike):
-    """Resolve a reference padding policy to explicit (lo, hi) pairs."""
+    """Resolve a reference padding policy to explicit (lo, hi) pairs.
+
+    Also accepts a per-axis tuple of policy strings, e.g. ("same", "causal")
+    for a 2-D conv that is causal in time but centered in frequency (the
+    causal-streaming audio stem)."""
     n = len(kernel_size)
     if isinstance(padding, str):
         if padding == "valid":
@@ -61,6 +65,11 @@ def conv_padding(kernel_size: Tuple[int, ...], padding: PaddingLike):
         if padding == "causal":
             return tuple((k - 1, 0) for k in kernel_size)
         raise ValueError(f"unknown padding policy: {padding}")
+    if (isinstance(padding, (tuple, list))
+            and any(isinstance(p, str) for p in padding)):
+        assert len(padding) == n
+        return tuple(conv_padding((k,), p)[0]
+                     for k, p in zip(kernel_size, padding))
     pads = _tuple(padding, n)
     return tuple((p, p) for p in pads)
 

@@ -323,12 +323,74 @@ class Model:
                   f"{v.std():<10.4f}")
 
     # ---------------------------------------------------------- loss logic
+    def _ctc_batch_group(self, targets):
+        """Output keys whose CTC losses can run as ONE batched call.
+
+        The InterCTC models compute 4-6 CTC losses per step against the SAME
+        targets; each is a separate alpha/beta lax.scan pair (12 tiny
+        latency-bound while loops at B=16, ~3 ms/step profiled). Grouping
+        pads every output to the longest frame count and stacks along batch:
+        2 while loops total, identical per-sample math (padding is masked by
+        logit_lengths). Requires identical CTCLoss config and identical
+        target arrays across the group."""
+        from avec_tpu.train.losses import CTCLoss
+
+        keys = [k for k in self.output_names
+                if isinstance(self.losses.get(k), CTCLoss)]
+        if len(keys) < 2:
+            return []
+        l0, t0 = self.losses[keys[0]], targets[keys[0]]
+        for k in keys:
+            loss, tgt = self.losses[k], targets[k]
+            if not (loss.blank == l0.blank
+                    and loss.reduction == l0.reduction
+                    and loss.zero_infinity == l0.zero_infinity):
+                return []
+            if not (isinstance(tgt, (tuple, list)) and len(tgt) == 2
+                    and tgt[0] is t0[0] and tgt[1] is t0[1]):
+                return []
+        return keys
+
     def _compute_losses(self, outputs, targets, step):
         """Per-output losses + scheduled-weight total (ref model.py:275-287)."""
+        from avec_tpu.ops.ctc import ctc_loss as _ctc_loss
+
         batch_losses = {}
         total = jnp.zeros((), jnp.float32)
+
+        ctc_group = self._ctc_batch_group(targets)
+        if ctc_group:
+            l0 = self.losses[ctc_group[0]]
+            y, y_len = targets[ctc_group[0]]
+            t_max = max(int(outputs[k][0].shape[1]) for k in ctc_group)
+            logits_cat = jnp.concatenate(
+                [jnp.pad(outputs[k][0].astype(jnp.float32),
+                         ((0, 0), (0, t_max - outputs[k][0].shape[1]), (0, 0)))
+                 for k in ctc_group], axis=0)
+            len_cat = jnp.concatenate(
+                [outputs[k][1] for k in ctc_group], axis=0)
+            n, b = len(ctc_group), y.shape[0]
+            nll = _ctc_loss(logits_cat, len_cat,
+                            jnp.concatenate([y] * n, axis=0),
+                            jnp.concatenate([y_len] * n, axis=0),
+                            blank=l0.blank, reduction="none",
+                            zero_infinity=l0.zero_infinity).reshape(n, b)
+            for i, key in enumerate(ctc_group):
+                per = nll[i]
+                if l0.reduction == "mean":
+                    loss = per.mean()
+                elif l0.reduction == "sum":
+                    loss = per.sum()
+                else:  # "default" == torch mean-over-target-lengths
+                    denom = jnp.maximum(y_len.astype(per.dtype), 1.0)
+                    loss = (per / denom).mean()
+                batch_losses["loss_" + key] = loss
+                weight = (self.loss_weights or {}).get(key)
+                w = weight(step + 1) if weight is not None else 1.0
+                total = total + loss * w
+
         for key in self.output_names:
-            if self.losses.get(key) is None:
+            if self.losses.get(key) is None or key in ctc_group:
                 continue
             loss = self.losses[key](targets[key], outputs[key])
             batch_losses["loss_" + key] = loss
@@ -408,26 +470,40 @@ class Model:
                 met_sum = jax.tree.map(jnp.add, met_sum, metrics)
                 return (new_bs, grad_sum, loss_sum, met_sum), None
 
-            # Probe loss/metric pytree structure abstractly (jax.eval_shape
-            # traces without emitting compute — no forward pass is paid).
-            micro0 = jax.tree.map(lambda x: x[0], batch)
-            zero_grads = jax.tree.map(jnp.zeros_like, params)
-            _, (loss_proto, met_proto, _) = jax.eval_shape(
-                loss_fn, params, state["batch_stats"], micro0,
-                {"dropout": rng, "augment": rng}, step)
-            loss0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
-                                 loss_proto)
-            met0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
-                                met_proto)
+            if accumulated_steps == 1:
+                # No-accumulation fast path: skip the lax.scan wrapper (a
+                # 1-iteration scan still pays dynamic-update-slice plumbing
+                # and walls off fusion across the loop boundary). Same rng
+                # folding as scan idx 0, so results are identical.
+                micro0 = jax.tree.map(lambda x: x[0], batch)
+                rngs = {"dropout": jax.random.fold_in(rng, 0),
+                        "augment": jax.random.fold_in(rng, 1)}
+                grads, (losses, metrics, new_bs) = jax.grad(
+                    loss_fn, has_aux=True)(params, state["batch_stats"],
+                                           micro0, rngs, step)
+            else:
+                # Probe loss/metric pytree structure abstractly
+                # (jax.eval_shape traces without emitting compute).
+                micro0 = jax.tree.map(lambda x: x[0], batch)
+                zero_grads = jax.tree.map(jnp.zeros_like, params)
+                _, (loss_proto, met_proto, _) = jax.eval_shape(
+                    loss_fn, params, state["batch_stats"], micro0,
+                    {"dropout": rng, "augment": rng}, step)
+                loss0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                     loss_proto)
+                met0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                    met_proto)
 
-            idxs = jnp.arange(accumulated_steps)
-            (new_bs, grad_sum, loss_sum, met_sum), _ = lax.scan(
-                body, (state["batch_stats"], zero_grads, loss0, met0),
-                (batch, idxs))
+                idxs = jnp.arange(accumulated_steps)
+                (new_bs, grad_sum, loss_sum, met_sum), _ = lax.scan(
+                    body, (state["batch_stats"], zero_grads, loss0, met0),
+                    (batch, idxs))
 
-            grads = jax.tree.map(lambda g: g / accumulated_steps, grad_sum)
-            losses = jax.tree.map(lambda l: l / accumulated_steps, loss_sum)
-            metrics = jax.tree.map(lambda m: m / accumulated_steps, met_sum)
+                grads = jax.tree.map(lambda g: g / accumulated_steps, grad_sum)
+                losses = jax.tree.map(lambda l: l / accumulated_steps,
+                                      loss_sum)
+                metrics = jax.tree.map(lambda m: m / accumulated_steps,
+                                       met_sum)
 
             # Global grad norm (logged; clipped when grad_max_norm set,
             # ref model.py:378-383).

@@ -8,115 +8,111 @@
 
 """Map profiled device time to model components.
 
-Workflow (how the round-2 optimizations were found):
+Workflow (how the round-2/3/4 optimizations were found):
   1. BENCH_PROFILE=/tmp/prof BENCH_WINDOWS=1 python bench.py
      (writes a jax.profiler trace; NOTE: a second profiler attach in one
      process can abort the TPU backend — use a fresh process per trace)
   2. python tools/profile_step.py /tmp/prof
-     (dumps the compiled train-step HLO, joins trace op names with HLO
-     op_name metadata, prints per-component and top-op tables)
+     (prints per-component and top-op tables)
 
-The per-component buckets use the jax scope names burned into HLO metadata
-(encoder/video_encoder/front_end..., audio_encoder/back_end, ...), so the
-output reads as "which part of the model costs what" instead of fusion ids.
+Attribution source: each device-lane trace event carries the op's own
+`tf_op` (the jax scope path burned into HLO metadata, e.g.
+"...jvp(_AVInterCTCNet)/encoder/video_encoder/front_end_resnet/...") and
+`source` (file:line) args — no HLO re-dump/join needed (the round-3 version
+re-lowered the step and joined on fusion names, which broke whenever the
+trace numbering diverged from the fresh lowering).
 """
 
 import collections
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from trace_top_ops import load_trace_events, summarize
+from trace_top_ops import load_trace_events
 
 BUCKETS = [
-    ("video_front_end", ("video_encoder/front_end",)),
+    ("video_stem", ("front_end_stem",)),
+    ("video_resnet", ("front_end_resnet", "front_end")),
     ("video_conformer", ("video_encoder/back_end",)),
     ("video_other", ("video_encoder",)),
-    ("audio_conformer", ("audio_encoder/back_end",)),
-    ("audio_frontend+stem", ("audio_encoder",)),
+    ("fbank", ("ops/audio.py", "audio_encoder/log", "audio_encoder/conv_general_dilated")),
+    ("audio_stem", ("subsampling_module", "audio_encoder/linear")),
+    ("audio_conf_stage1", tuple(f"audio_encoder/back_end/block_{i}/" for i in range(5))
+     + ("audio_encoder/back_end/blocks_0", "audio_encoder/back_end/blocks_1",
+        "audio_encoder/back_end/blocks_2", "audio_encoder/back_end/blocks_3")),
+    ("audio_conf_rest", ("audio_encoder/back_end",)),
     ("av_conformer", ("audio_visual_encoder",)),
     ("fusion_module", ("fusion_module", "Fusion")),
-    ("ctc_loss", ("ctc", "take_along", "logsumexp")),
-    ("optimizer", ("adam", "opt", "ema")),
+    ("ctc_loss", ("ops/ctc.py", "ctc", "take_along", "logsumexp")),
+    ("optimizer+ema", ("adam", "/opt", "ema", "optim")),
 ]
 
 
-def dump_train_step_hlo(batch: int, path: str) -> str:
-    """Compile (cache-warm) the bench train step and dump optimized HLO."""
-    os.environ.setdefault("BENCH_BATCH", str(batch))
-    import jax
+def attribute(events):
+    """Bucket device-lane op time by tf_op/source scope."""
+    proc_names, thread_names = {}, {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            proc_names[e["pid"]] = e["args"].get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            thread_names[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
 
-    import bench
-    from avec_tpu.models.zoo import AudioVisualEfficientConformerInterCTC
-    from avec_tpu.parallel import mesh as pmesh
-    from avec_tpu.train.losses import CTCLoss
+    def is_op_lane(pid, tid):
+        txt = (proc_names.get(pid, "") + " "
+               + thread_names.get((pid, tid), "")).lower()
+        return "xla op" in txt
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                     "/tmp/avec_tpu_jax_cache"))
-    model = AudioVisualEfficientConformerInterCTC()
-    model.compile(losses=CTCLoss(zero_infinity=True, assert_shorter=False))
-    model.mesh = pmesh.make_mesh()
-    b = bench.make_batch(batch)
-    model.build(b["inputs"], precision="bfloat16")
-    step = model._build_train_step(accumulated_steps=1, eval_training=False)
-    gbatch = pmesh.host_local_batch_to_global(
-        model.mesh, model._stack_micro(b, 1), batch_axis=1)
-    txt = step.lower(model._state(), gbatch,
-                     jax.random.PRNGKey(0)).compile().as_text()
-    with open(path, "w") as f:
-        f.write(txt)
-    return txt
+    buckets = collections.Counter()
+    detail = collections.defaultdict(collections.Counter)
+    opcount = collections.Counter()
+    steps = 0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        name = e.get("name", "?")
+        if name.startswith("jit_train_step"):
+            steps += 1
+            continue
+        if not is_op_lane(e.get("pid"), e.get("tid")):
+            continue
+        if name.startswith("jit_") or name.isdigit():
+            continue
+        args = e.get("args", {})
+        scope = args.get("tf_op", "") + " " + args.get("source", "")
+        b = "unmapped"
+        for bname, pats in BUCKETS:
+            if any(p in scope for p in pats):
+                b = bname
+                break
+        else:
+            if scope.strip():
+                b = "other_mapped"
+        dur = e.get("dur", 0)
+        buckets[b] += dur
+        key = (name, scope[:140])
+        detail[b][key] += dur
+        opcount[b] += 1
+    return buckets, detail, opcount, max(steps, 1)
 
 
 def main():
     profile_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/prof"
-    batch = int(os.environ.get("BENCH_BATCH", 16))
-    hlo_path = f"/tmp/train_step_b{batch}.hlo"
-    if os.path.isfile(hlo_path):
-        hlo = open(hlo_path).read()
-    else:
-        hlo = dump_train_step_hlo(batch, hlo_path)
-
+    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     events = load_trace_events(profile_dir)
-    total, count, _ = summarize(events)
-    meta = {m.group(1): m.group(2) for m in re.finditer(
-        r"%([\w.\-]+) = .*?op_name=\"([^\"]+)\"", hlo)}
-
-    # Steps profiled = number of jit_train_step executions in the trace.
-    steps = max(count.get(n, 0) for n in total if n.startswith("jit_")) or 1
-
-    buckets = collections.Counter()
-    detail = collections.defaultdict(collections.Counter)
-    for name, dur in total.items():
-        if name.startswith("jit_") or name.isdigit():
-            continue
-        om = meta.get(name, "")
-        b = "unmapped"
-        for bname, pats in BUCKETS:
-            if any(p in om or p in om.lower() for p in pats):
-                b = bname
-                break
-        else:
-            if om:
-                b = "other_mapped"
-        buckets[b] += dur
-        detail[b][name] += dur
+    buckets, detail, opcount, steps = attribute(events)
 
     tot = sum(buckets.values())
     print(f"device time: {tot/steps/1e3:.1f} ms/step over {steps} steps\n")
     for b, d in buckets.most_common():
-        print(f"  {b:<22} {d/steps/1e3:8.2f} ms/step  {100*d/tot:5.1f}%")
+        print(f"  {b:<22} {d/steps/1e3:8.2f} ms/step  {100*d/tot:5.1f}%"
+              f"  ({opcount[b]//steps} ops)")
     print("\ntop ops per bucket:")
-    for b, _ in buckets.most_common(5):
+    for b, _ in buckets.most_common(8):
         print(f"== {b}")
-        for name, d in detail[b].most_common(5):
-            om = meta.get(name, "?").replace(
-                "jit(train_step)/while/body/closed_call/", "")
-            print(f"   {d/steps/1e3:6.2f} ms  {name[:28]:<28} {om[:80]}")
+        for (name, scope), d in detail[b].most_common(top_n):
+            print(f"   {d/steps/1e3:6.2f} ms  {name[:30]:<30} {scope[:100]}")
 
 
 if __name__ == "__main__":

@@ -72,13 +72,17 @@ class Server:
     def __init__(self, mode: str = "ao", checkpoint: str = None,
                  tokenizer: str = "datasets/LRS3/tokenizerbpe256.json",
                  decoder: str = "greedy", decoder_kwargs: dict = None,
-                 precision: str = "bfloat16"):
+                 precision: str = "bfloat16", causal: bool = False,
+                 left_context: int = 128):
         import avec_tpu as nnet
 
         self.mode = mode
         self.precision = precision
+        self.causal = causal
         if mode == "ao":
-            self.model = nnet.AudioEfficientConformerInterCTC(interctc_blocks=[])
+            self.model = nnet.AudioEfficientConformerInterCTC(
+                interctc_blocks=[], causal=causal,
+                left_context=left_context if causal else None)
         elif mode == "vo":
             self.model = nnet.VisualEfficientConformerInterCTC()
         else:
@@ -346,17 +350,25 @@ def _stream_file(srv, path: str, chunk_ms: float, window_s: float,
     """Simulated live stream: feed a wav in chunk_ms slices through
     StreamingTranscriber, printing one JSON partial per forward and a
     final line (avec_tpu/decode/streaming.py)."""
-    from avec_tpu.decode.streaming import StreamingTranscriber
-
     audio = srv.load_request(path)["audio"]
     # Build + checkpoint-load through the same path as batch serving (same
-    # precision, same weights) BEFORE streaming: the transcriber honors an
+    # precision, same weights) BEFORE streaming: the transcribers honor an
     # already-built model and will not re-initialize it.
     warm = np.zeros((1, 4000), np.float32)
     srv.ensure_built([warm, np.array([4000], np.int32)])
-    st = StreamingTranscriber(srv.model, srv.decoder,
-                              window_seconds=window_s or None,
-                              precision=srv.precision)
+    if srv.causal:
+        # Causal model: exact O(chunk) streaming with carried KV/conv state
+        # (decode/causal_streaming.py); every emitted token is final.
+        from avec_tpu.decode.causal_streaming import CausalStreamingTranscriber
+
+        st = CausalStreamingTranscriber(srv.model, srv.decoder,
+                                        precision=srv.precision)
+    else:
+        from avec_tpu.decode.streaming import StreamingTranscriber
+
+        st = StreamingTranscriber(srv.model, srv.decoder,
+                                  window_seconds=window_s or None,
+                                  precision=srv.precision)
     step = max(1, int(chunk_ms * 16))
     last = None
     for start in range(0, len(audio), step):
@@ -406,6 +418,12 @@ def main():
                     help="--stream chunk size in milliseconds")
     ap.add_argument("--stream_window_s", type=float, default=0.0,
                     help="--stream bounded audio window (0 = unbounded)")
+    ap.add_argument("--causal", action="store_true",
+                    help="audio-only: use the causal encoder variant; "
+                         "--stream then runs exact O(chunk) cached-state "
+                         "streaming (requires a causal-trained checkpoint)")
+    ap.add_argument("--left_context", type=int, default=128,
+                    help="causal attention history bound (stage-1 frames)")
     args = ap.parse_args()
     if args.stream and args.mode != "ao":
         ap.error("--stream is audio-only (use --mode ao)")
@@ -423,9 +441,12 @@ def main():
                               ngram_tmp=args.ngram_tmp,
                               neural_config_path=args.neural_config,
                               neural_checkpoint=args.neural_checkpoint)
+    if args.causal and args.mode != "ao":
+        ap.error("--causal is audio-only (use --mode ao)")
     srv = Server(mode=args.mode, checkpoint=args.checkpoint,
                  tokenizer=args.tokenizer, decoder=args.decoder,
-                 decoder_kwargs=decoder_kwargs)
+                 decoder_kwargs=decoder_kwargs, causal=args.causal,
+                 left_context=args.left_context)
     if not args.checkpoint:
         print("WARNING: no checkpoint — transcriptions will be noise",
               file=sys.stderr)
