@@ -479,6 +479,10 @@ class AudioVisualEfficientConformerEncoder(nn.Module):
     a_interctc_blocks: Sequence[int] = (8, 11)
     f_interctc_blocks: Sequence[int] = (2,)
     remat: bool = False
+    # Pallas flash attention for the audio encoder's RelPos1d stages (the
+    # long-sequence path; video/fusion stages run at <=12.5 Hz where the
+    # XLA paths win — see tools/bench_flash.py).
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, video, video_len, audio, audio_len, training: bool = False):
@@ -495,8 +499,8 @@ class AudioVisualEfficientConformerEncoder(nn.Module):
         a, audio_len, a_inter = AudioEfficientConformerEncoder(
             include_head=False, vocab_size=self.vocab_size,
             interctc_blocks=list(self.a_interctc_blocks), num_blocks=[5, 6, 1],
-            loss_prefix="a_ctc", remat=self.remat, name="audio_encoder")(
-                audio, audio_len, training=training)
+            loss_prefix="a_ctc", remat=self.remat, use_flash=self.use_flash,
+            name="audio_encoder")(audio, audio_len, training=training)
 
         # Padded frame counts can differ by rounding of the padded (not true)
         # lengths; align video onto the audio time axis (true lengths already

@@ -199,6 +199,7 @@ class _AVInterCTCNet(nn.Module):
     a_interctc_blocks: Sequence[int] = (8, 11)
     f_interctc_blocks: Sequence[int] = (2,)
     remat: bool = False
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, video, video_len, audio, audio_len,
@@ -208,7 +209,7 @@ class _AVInterCTCNet(nn.Module):
             v_interctc_blocks=list(self.v_interctc_blocks),
             a_interctc_blocks=list(self.a_interctc_blocks),
             f_interctc_blocks=list(self.f_interctc_blocks),
-            remat=self.remat,
+            remat=self.remat, use_flash=self.use_flash,
             name="encoder")(video, video_len, audio, audio_len,
                             training=training)
         outputs = {"outputs": [x, lengths]}
@@ -222,12 +223,14 @@ class AudioVisualEfficientConformerInterCTC(Model):
     def __init__(self, vocab_size: int = 256,
                  v_interctc_blocks: Sequence[int] = (3, 6),
                  a_interctc_blocks: Sequence[int] = (8, 11),
-                 f_interctc_blocks: Sequence[int] = (2,), remat: bool = False):
+                 f_interctc_blocks: Sequence[int] = (2,), remat: bool = False,
+                 use_flash: bool = False):
         super().__init__(name="Audio-Visual Efficient Conformer Inter CTC")
         self.net = _AVInterCTCNet(
             vocab_size=vocab_size, v_interctc_blocks=tuple(v_interctc_blocks),
             a_interctc_blocks=tuple(a_interctc_blocks),
-            f_interctc_blocks=tuple(f_interctc_blocks), remat=remat)
+            f_interctc_blocks=tuple(f_interctc_blocks), remat=remat,
+            use_flash=use_flash)
 
     def compile(self, losses=None, loss_weights=None, optimizer="Adam",
                 metrics=None, decoders=None):

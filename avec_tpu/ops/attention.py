@@ -169,10 +169,12 @@ class RelPos1dMultiHeadAttention(MultiHeadAttention):
 
     num_pos_embeddings: int = 10000
     causal: bool = False
-    # None = AVEC_TPU_FACTORIZED_ATT env (default off). The round-1 skew-vs-
-    # factorized decision (695 vs 631 utt/s) was made with the dispatch-rate
-    # timing later found broken (ROUND_NOTES round-2 correction) — the env
-    # hook lets the choice be re-measured honestly per hardware.
+    # None = AVEC_TPU_FACTORIZED_ATT env (default ON). The round-1 skew-vs-
+    # factorized decision (695 vs 631 utt/s, skew) was made with the
+    # dispatch-rate timing later found broken (ROUND_NOTES round-2
+    # correction); re-measured honestly in round 4 the factorized path wins
+    # at the AVEC operating point too (194.5 vs 191.8 utt/s AV train, B=16):
+    # no (B, H, T, 2T-1) HBM intermediate or skew pad/reshape copies.
     factorized: Optional[bool] = None
     # Pallas flash kernel (ops/pallas_attention.py) over the factorized
     # form: no O(T^2) HBM intermediates at all. Inference/long-context path
@@ -255,7 +257,7 @@ class RelPos1dMultiHeadAttention(MultiHeadAttention):
             return self._proj_out(_merge_heads(o))
         scores_k = jnp.einsum("bhqd,bhkd->bhqk", q, k)
         factorized = (self.factorized if self.factorized is not None
-                      else os.environ.get("AVEC_TPU_FACTORIZED_ATT", "0") == "1")
+                      else os.environ.get("AVEC_TPU_FACTORIZED_ATT", "1") == "1")
         if factorized and not self.causal:
             scores_e = self._rel_scores_factorized(q, t)
         else:

@@ -940,6 +940,11 @@ class Model:
         """
         import glob as globmod
 
+        # Lazy build (the reference model is already built when swa runs,
+        # nnet/model.py:944; our engine builds from a sample batch).
+        if self.params is None:
+            self.build(next(iter(dataset))["inputs"], precision=precision)
+
         if epochs_list is None:
             epochs_list = list(range(int(start_epoch), int(end_epoch) + 1))
         if self.rank == 0:

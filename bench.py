@@ -119,7 +119,11 @@ def bench_jax():
     from avec_tpu.parallel import mesh as pmesh
     from avec_tpu.train.losses import CTCLoss
 
-    model = AudioVisualEfficientConformerInterCTC()
+    # BENCH_FLASH=1 routes the audio encoder's RelPos1d stages through the
+    # Pallas flash kernel — the long-sequence datapoint (BENCH_AUDIO_SECONDS
+    # =16 is the configs' cap, configs/LRS23/AO/EffConfCTC.py:47).
+    model = AudioVisualEfficientConformerInterCTC(
+        use_flash=os.environ.get("BENCH_FLASH", "0") == "1")
     model.compile(losses=CTCLoss(zero_infinity=True, assert_shorter=False))
     model.mesh = pmesh.make_mesh()
 

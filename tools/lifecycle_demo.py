@@ -1,0 +1,120 @@
+# Copyright 2026.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+
+"""One-command offline lifecycle — the closest offline analogue of the
+reference's eval_models.sh (/root/reference/eval_models.sh:1-20, which needs
+the network-gated released checkpoints).
+
+Drives main.py through the FULL mode chain on the learnable synthetic
+tone-speech dataset (configs/Synthetic/):
+
+  1. evaluation  (random init — the WER baseline to beat)
+  2. training    (GPT-Tiny LM on the tone corpus -> rescorer checkpoint)
+  3. training    (AO conformer, periodic eval + checkpoints per epoch)
+  4. swa         (average the epoch checkpoints, BN re-estimation)
+  5. evaluation  (SWA checkpoint; beam 8 + estimated 2-gram ARPA + GPT
+                  rescoring, recompute_metrics=True exact corpus WER)
+
+Asserts the final WER is finite and improved over init. Runtime is
+compile-dominated on the 1-core CPU host (~30-45 min cold, much less with a
+warm /tmp/avec_tpu_jax_cache); pass --steps to change the training budget.
+
+Usage: python tools/lifecycle_demo.py [--steps 400] [--skip_lm]
+"""
+
+import argparse
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ)
+ENV.setdefault("JAX_PLATFORMS", os.environ.get("LIFECYCLE_PLATFORM", "cpu"))
+
+
+def run_main(*args, timeout=7200):
+    cmd = [sys.executable, "main.py", *args]
+    print(f"[lifecycle] $ {' '.join(cmd)}", flush=True)
+    t0 = time.time()
+    r = subprocess.run(cmd, cwd=REPO, env=ENV, capture_output=True,
+                       text=True, timeout=timeout)
+    print(f"[lifecycle]   -> rc={r.returncode} in {time.time()-t0:.0f}s",
+          flush=True)
+    if r.returncode != 0:
+        print(r.stdout[-3000:])
+        print(r.stderr[-5000:])
+        raise SystemExit(f"main.py {args} failed")
+    return r.stdout
+
+
+def last_wer(stdout: str) -> float:
+    wers = re.findall(r"eval wer: ([0-9.]+)", stdout)
+    assert wers, f"no WER in output:\n{stdout[-2000:]}"
+    return float(wers[-1])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=400,
+                    help="AO training steps total (2 epochs)")
+    ap.add_argument("--skip_lm", action="store_true",
+                    help="skip the GPT-rescorer leg (beam+ARPA only)")
+    ap.add_argument("--fresh", action="store_true",
+                    help="delete callbacks/Synthetic before starting")
+    args = ap.parse_args()
+
+    if args.fresh:
+        shutil.rmtree(os.path.join(REPO, "callbacks/Synthetic"),
+                      ignore_errors=True)
+
+    cfg = "configs/Synthetic/AO-Tone.py"
+    spe = max(args.steps // 2, 1)
+
+    # 1. Random-init evaluation: the baseline WER (beam + ARPA, no LM ckpt
+    #    yet so no rescorer — the comparison target is the final number).
+    out = run_main("-c", cfg, "-m", "evaluation")
+    wer_init = last_wer(out)
+    print(f"[lifecycle] init WER {wer_init:.2f}%", flush=True)
+
+    # 2. LM leg: 1 epoch of GPT-Tiny on the tone corpus.
+    if not args.skip_lm:
+        run_main("-c", "configs/Synthetic/LM-Tone.py", "-m", "training",
+                 "--steps_per_epoch", "30", "--epochs", "1",
+                 "--step_log_period", "10")
+
+    # 3. AO training: 2 epochs with per-epoch eval + checkpoints.
+    run_main("-c", cfg, "-m", "training",
+             "--steps_per_epoch", str(spe), "--epochs", "2",
+             "--step_log_period", "50")
+
+    # 4. SWA over the two epoch checkpoints (+ BN re-estimation pass).
+    run_main("-c", cfg, "-m", "swa", "--swa_epochs", "1", "2")
+
+    # 5. Full-stack evaluation of the SWA checkpoint: beam + ARPA (+ GPT
+    #    rescoring now that LM-Tone has a checkpoint) + exact corpus WER.
+    swa = [f for f in os.listdir(os.path.join(REPO, "callbacks/Synthetic/"
+                                              "AO-Tone"))
+           if f.startswith("checkpoints_swa")]
+    assert swa, "swa produced no checkpoint"
+    out = run_main("-c", cfg, "-m", "evaluation",
+                   "--checkpoint", sorted(swa)[-1])
+    wer_final = last_wer(out)
+
+    print(f"[lifecycle] WER init {wer_init:.2f}% -> final {wer_final:.2f}%",
+          flush=True)
+    assert wer_final == wer_final and wer_final < float("inf")
+    assert wer_final < wer_init, (wer_final, wer_init)
+    print("[lifecycle] PASS: full training->swa->beam+LM evaluation chain, "
+          "WER improved over init", flush=True)
+
+
+if __name__ == "__main__":
+    main()
