@@ -83,6 +83,7 @@ class _AudioInterCTCNet(nn.Module):
     vocab_size: int = 256
     att_type: str = "patch"
     interctc_blocks: Sequence[int] = (3, 6, 10, 13)
+    num_blocks: Sequence[int] = (5, 6, 5)
     use_flash: bool = False
     causal: bool = False
     left_context: Optional[int] = None
@@ -93,6 +94,7 @@ class _AudioInterCTCNet(nn.Module):
         encoder = AudioEfficientConformerEncoder(
             vocab_size=self.vocab_size, att_type=self.att_type,
             interctc_blocks=list(self.interctc_blocks),
+            num_blocks=list(self.num_blocks),
             use_flash=self.use_flash,
             causal=self.causal, left_context=self.left_context,
             name="encoder")
@@ -119,11 +121,13 @@ class AudioEfficientConformerInterCTC(Model):
 
     def __init__(self, vocab_size: int = 256, att_type: str = "patch",
                  interctc_blocks: Sequence[int] = (3, 6, 10, 13),
+                 num_blocks: Sequence[int] = (5, 6, 5),
                  use_flash: bool = False, causal: bool = False,
                  left_context: Optional[int] = None):
         super().__init__(name="Audio Efficient Conformer Inter CTC")
         self.net = _AudioInterCTCNet(vocab_size=vocab_size, att_type=att_type,
                                      interctc_blocks=tuple(interctc_blocks),
+                                     num_blocks=tuple(num_blocks),
                                      use_flash=use_flash, causal=causal,
                                      left_context=left_context)
 

@@ -60,13 +60,17 @@ decoder = nnet.CTCBeamSearchDecoder(
     neural_checkpoint=neural_checkpoint,
     neural_alpha=0.3, neural_beta=0.3)
 
+# Same architecture family as the real AO model, scaled to 5 conformer
+# blocks so the CPU-hosted lifecycle learns past CTC blank-collapse in
+# minutes (the full [5, 6, 5] stack needs ~3.4 s/step and >1k steps here).
 model = nnet.AudioEfficientConformerInterCTC(
-    vocab_size=vocab_size, att_type="patch", interctc_blocks=[3, 6, 10, 13])
+    vocab_size=vocab_size, att_type="patch", num_blocks=[2, 2, 1],
+    interctc_blocks=[2, 4])
 model.compile(
     losses=nnet.CTCLoss(zero_infinity=True, assert_shorter=False),
-    loss_weights=[0.5 / 4] * 4 + [0.5],
+    loss_weights=[0.25, 0.25, 0.5],
     optimizer=nnet.Adam(
-        lr=nnet.NoamDecayScheduler(warmup_steps=1000, dim_decay=360,
+        lr=nnet.NoamDecayScheduler(warmup_steps=300, dim_decay=360,
                                    val_factor=1.5),
         betas=(0.9, 0.98), eps=1e-9, weight_decay=1e-6),
     metrics={"outputs": nnet.WordErrorRate()},

@@ -63,7 +63,7 @@ def last_wer(stdout: str) -> float:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=400,
+    ap.add_argument("--steps", type=int, default=800,
                     help="AO training steps total (2 epochs)")
     ap.add_argument("--skip_lm", action="store_true",
                     help="skip the GPT-rescorer leg (beam+ARPA only)")
