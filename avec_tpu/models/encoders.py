@@ -117,10 +117,14 @@ class FusedVideoStem(nn.Module):
                                      ra_var, b, t, deterministic)
 
         # dt-unrolled 2-D conv on flattened frames: channel index = dt*4+c.
+        # Flatten (B, T) -> B*T per-slice BEFORE the concat: XLA fuses the
+        # slice-reshape copies into the concat's output fusion (one 213 MB
+        # write), where reshaping the concat result re-copied it (1.1
+        # ms/step at B=16).
         kt = kp.shape[0]
-        xs = jnp.concatenate([xp[:, dt: dt + t] for dt in range(kt)],
-                             axis=-1)                     # (B, T, 47, 47, 20)
-        xs = xs.reshape((b * t,) + xs.shape[2:])
+        xs = jnp.concatenate(
+            [xp[:, dt: dt + t].reshape((b * t,) + xp.shape[2:])
+             for dt in range(kt)], axis=-1)               # (B*T, 47, 47, 20)
         k2d = kp.transpose(1, 2, 0, 3, 4)                 # (4, 4, kt, 4, 64)
         k2d = k2d.reshape(k2d.shape[0], k2d.shape[1], -1, k2d.shape[-1])
         dn = lax.conv_dimension_numbers(xs.shape, k2d.shape,
@@ -146,8 +150,11 @@ class FusedVideoStem(nn.Module):
                              + (1 - self.momentum) * mean)
             ra_var.value = (self.momentum * ra_var.value
                             + (1 - self.momentum) * unbiased)
-        yn = ((y.astype(jnp.float32) - mean) * lax.rsqrt(var + self.epsilon)
-              * scale + bn_bias).astype(y.dtype)
+        # Rematerialized apply (see ops.layers._bn_apply): keeps the 586 MB
+        # conv output's f32 upcast out of the backward residuals.
+        from avec_tpu.ops.layers import _bn_apply
+
+        yn = _bn_apply(y, mean, var, scale, bn_bias, self.epsilon)
         # max commutes with the monotone ReLU: relu(max_pool(yn)) ==
         # max_pool(relu(yn)) exactly, but pooling FIRST applies ReLU to the
         # 4x-smaller pooled tensor (saves a 586 MB activation round-trip at

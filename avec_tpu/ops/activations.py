@@ -17,6 +17,14 @@ reference's string names onto callables usable inside flax modules.
 import jax
 import jax.numpy as jnp
 
+# NOTE (round 4, measured): wrapping the gated activations in
+# jax.checkpoint(nothing_saveable) to drop the sigmoid/tanh backward
+# residuals was tried and REGRESSED the AV train step (194.5 -> 185.4
+# utt/s/chip on v5e, B=16): the conformer buckets were flat (XLA already
+# fuses these into adjacent matmul epilogues; the "saved residual" never
+# hits HBM) and the extra checkpoint boundaries broke conv+BN backward
+# fusions elsewhere. Keep these as plain functions.
+
 
 def identity(x):
     return x

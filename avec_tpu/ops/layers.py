@@ -474,11 +474,34 @@ class LayerNorm(nn.Module):
         dim = x.shape[-1]
         scale = self.param("scale", ones_init, (dim,))
         bias = self.param("bias", zeros_init, (dim,))
-        xf = x.astype(jnp.float32)
-        mean = xf.mean(axis=-1, keepdims=True)
-        var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
-        y = (xf - mean) * lax.rsqrt(var + self.epsilon)
-        return (y.astype(x.dtype) * scale.astype(x.dtype)) + bias.astype(x.dtype)
+        return _ln_apply(x, scale, bias, self.epsilon)
+
+
+def _ln_apply(x, scale, bias, epsilon):
+    """LayerNorm stats + apply (f32 stats, output in x.dtype)."""
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+    y = (xf - mean) * lax.rsqrt(var + epsilon)
+    return (y.astype(x.dtype) * scale.astype(x.dtype)) + bias.astype(x.dtype)
+
+
+def _bn_apply(x, mean, var, scale, bias, epsilon):
+    """Normalize + affine in f32, output in x.dtype.
+
+    NOTE (round 4, measured): wrapping this (and _ln_apply, and the gated
+    activations) in jax.checkpoint(nothing_saveable) to keep the f32
+    upcast out of the backward residuals was tried and REGRESSED the AV
+    train step 194.5 -> 185.4 utt/s/chip (v5e, B=16). The profile showed
+    the damage concentrated exactly where BNs are dense (video_resnet
+    +1.5 ms, video_stem +1.65 ms/step) while the LN/activation-heavy
+    conformer buckets were flat: XLA already fuses these elementwise
+    chains into the conv/matmul backward fusions, and the checkpoint
+    boundary *prevents* that fusion, materializing the rematerialized
+    subgraph's outputs instead. Plain composition is the fast form.
+    """
+    y = (x.astype(jnp.float32) - mean) * lax.rsqrt(var + epsilon)
+    return (y * scale + bias).astype(x.dtype)
 
 
 class BatchNorm(nn.Module):
@@ -528,8 +551,7 @@ class BatchNorm(nn.Module):
                                  + (1 - self.momentum) * mean)
                 ra_var.value = (self.momentum * ra_var.value
                                 + (1 - self.momentum) * unbiased)
-        y = (x.astype(jnp.float32) - mean) * lax.rsqrt(var + self.epsilon)
-        return (y * scale + bias).astype(x.dtype)
+        return _bn_apply(x, mean, var, scale, bias, self.epsilon)
 
 
 class GroupNorm(nn.Module):
