@@ -53,7 +53,15 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k,
 
     q_ref: (1, block_q, da) VMEM; k_ref: (1, T, da); v_ref: (1, T, dv);
     len_ref: SMEM (B*H,) true sequence lengths; o_ref: (1, block_q, dv);
-    lse_ref: (1, block_q) per-row log-sum-exp (the backward residual).
+    lse_ref: (1, block_q, 128) per-row log-sum-exp (the backward residual).
+
+    lse is carried with a lane-replicated 128-wide last axis: Mosaic
+    requires the last two block dims to be (8k, 128k) (or match the array),
+    so a plain (1, block_q) block is unlowerable — this crashed on real TPU
+    while interpret-mode tests passed. (bh, t, 128) costs 128x a flat
+    vector (17 MB at BH=64/T=512, ~20 us of HBM) but needs NO transposes:
+    the kernel-side value is naturally (block_q, 1) in sublanes, so writes
+    are a lane broadcast and reads are a lane-0 slice.
     """
     q = q_ref[0].astype(jnp.float32) * scale
     block_q, da = q.shape
@@ -87,7 +95,8 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k,
     acc0 = jnp.zeros((block_q, dv), jnp.float32)
     m, l, acc = lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
+    lse = m + jnp.log(jnp.maximum(l, 1e-30))  # (block_q, 1)
+    lse_ref[0] = jnp.broadcast_to(lse, (block_q, 128))
 
 
 def _flash_forward(q_aug, k_aug, v, lengths, scale, block_q, block_k,
@@ -133,12 +142,13 @@ def _flash_forward(q_aug, k_aug, v, lengths, scale, block_q, block_k,
             out_specs=[
                 pl.BlockSpec((1, block_q, dv_pad),
                              lambda bh, qb, lens: (bh, qb, 0)),
-                pl.BlockSpec((1, block_q), lambda bh, qb, lens: (bh, qb)),
+                pl.BlockSpec((1, block_q, 128),
+                             lambda bh, qb, lens: (bh, qb, 0)),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((b * h, t_pad, dv_pad), v.dtype),
-            jax.ShapeDtypeStruct((b * h, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, t_pad, 128), jnp.float32),
         ],
         interpret=interpret,
     )(len_bh, q3, k3, v3)
@@ -186,8 +196,8 @@ def _flash_bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     """
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]
-    delta = delta_ref[0][:, None]
+    lse = lse_ref[0][:, 0:1]      # lane-replicated (block_q, 128) -> col 0
+    delta = delta_ref[0][:, 0:1]
     block_q, da = q.shape
     valid_len = len_ref[pl.program_id(0)]
     row = pl.program_id(1) * block_q + lax.broadcasted_iota(
@@ -236,8 +246,8 @@ def _flash_bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         dk_acc, dv_acc = carry
         q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(qb * block_q, block_q)][:, None]
-        delta = delta_ref[0, pl.ds(qb * block_q, block_q)][:, None]
+        lse = lse_ref[0, pl.ds(qb * block_q, block_q), :][:, 0:1]
+        delta = delta_ref[0, pl.ds(qb * block_q, block_q), :][:, 0:1]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         row = qb * block_q + lax.broadcasted_iota(jnp.int32,
@@ -289,8 +299,10 @@ def _flash_bwd(scale, interpret, res, g):
 
     g3 = jnp.pad(g, ((0, 0), (0, 0), (0, t_pad - t), (0, dv_pad - dv)))
     g3 = g3.reshape(bh, t_pad, dv_pad).astype(v3.dtype)
-    # delta_i = sum_d dO_i[d] * O_i[d] (rowwise, fused in XLA).
+    # delta_i = sum_d dO_i[d] * O_i[d] (rowwise, fused in XLA);
+    # lane-replicated to 128 like lse (see _flash_kernel docstring).
     delta = (g3.astype(jnp.float32) * out.astype(jnp.float32)).sum(axis=-1)
+    delta = jnp.broadcast_to(delta[..., None], (bh, t_pad, 128))
 
     common_specs = [
         pl.BlockSpec((1, t_pad, da_pad), lambda i, j, lens: (i, 0, 0)),
@@ -309,8 +321,8 @@ def _flash_bwd(scale, interpret, res, g):
                 common_specs[1],  # v (full)
                 pl.BlockSpec((1, block_q, dv_pad),
                              lambda i, j, lens: (i, j, 0)),
-                pl.BlockSpec((1, block_q), lambda i, j, lens: (i, j)),
-                pl.BlockSpec((1, block_q), lambda i, j, lens: (i, j)),
+                pl.BlockSpec((1, block_q, 128), lambda i, j, lens: (i, j, 0)),
+                pl.BlockSpec((1, block_q, 128), lambda i, j, lens: (i, j, 0)),
             ],
             out_specs=pl.BlockSpec((1, block_q, da_pad),
                                    lambda i, j, lens: (i, j, 0)),
@@ -334,8 +346,8 @@ def _flash_bwd(scale, interpret, res, g):
                              lambda i, j, lens: (i, j, 0)),
                 pl.BlockSpec((1, t_pad, dv_pad),
                              lambda i, j, lens: (i, 0, 0)),  # do (full)
-                pl.BlockSpec((1, t_pad), lambda i, j, lens: (i, 0)),
-                pl.BlockSpec((1, t_pad), lambda i, j, lens: (i, 0)),
+                pl.BlockSpec((1, t_pad, 128), lambda i, j, lens: (i, 0, 0)),
+                pl.BlockSpec((1, t_pad, 128), lambda i, j, lens: (i, 0, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, block_k, da_pad),
