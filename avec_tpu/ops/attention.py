@@ -120,13 +120,49 @@ class MultiHeadAttention(nn.Module):
     def _proj_out(self, o):
         return self.output_layer(o) if self.output_proj else o
 
+    def _project_qkv(self, q_in, k_in, v_in):
+        """Q/K/V projections as (B, T, D) (pre head-split).
+
+        Self-attention (q_in is k_in is v_in — every conformer call site)
+        fuses the three d x d projections into ONE (d, 3d) matmul: the math
+        per output element is identical (same contraction), but it is one
+        MXU dispatch instead of three with fuller output lanes at
+        d=180/256/360 (180 pads to 256 lanes alone, 540 to 640 fused), and
+        the weight gradient is likewise a single contraction that XLA
+        slices back to the three kernels. The param tree (and therefore
+        checkpoints and the torch converter) is untouched: kernels are
+        concatenated at apply time (~0.2 MB device-side concat). Init
+        traces take the plain per-layer calls so each child Linear creates
+        its params through its own initializer.
+        """
+        if not (q_in is k_in and k_in is v_in) or self.is_initializing():
+            return (self.query_layer(q_in), self.key_layer(k_in),
+                    self.value_layer(v_in))
+        dt = q_in.dtype
+        w = jnp.concatenate(
+            [self.query_layer.get_variable("params", "kernel"),
+             self.key_layer.get_variable("params", "kernel"),
+             self.value_layer.get_variable("params", "kernel")],
+            axis=1).astype(dt)
+        b = jnp.concatenate(
+            [self.query_layer.get_variable("params", "bias"),
+             self.key_layer.get_variable("params", "bias"),
+             self.value_layer.get_variable("params", "bias")])
+        x2 = q_in.reshape(-1, q_in.shape[-1])
+        y = jnp.dot(x2, w)
+        y = (y + b.astype(y.dtype)).reshape(
+            q_in.shape[:-1] + (3 * self.dim_model,))
+        d = self.dim_model
+        return y[..., :d], y[..., d:2 * d], y[..., 2 * d:]
+
     def __call__(self, x, mask=None, deterministic: bool = True):
         return self.forward_qkv(x, x, x, mask, deterministic)
 
     def forward_qkv(self, q, k, v, mask=None, deterministic: bool = True):
-        q = _split_heads(self.query_layer(q), self.num_heads, self.dim_head)
-        k = _split_heads(self.key_layer(k), self.num_heads, self.dim_head)
-        v = _split_heads(self.value_layer(v), self.num_heads, self.dim_head)
+        q, k, v = self._project_qkv(q, k, v)
+        q = _split_heads(q, self.num_heads, self.dim_head)
+        k = _split_heads(k, self.num_heads, self.dim_head)
+        v = _split_heads(v, self.num_heads, self.dim_head)
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / self.dim_head ** 0.5
         o = _attend(scores, v, mask, self.dropout, deterministic)
         return self._proj_out(_merge_heads(o))
@@ -230,9 +266,10 @@ class RelPos1dMultiHeadAttention(MultiHeadAttention):
     def forward_qkv(self, q_in, k_in, v_in, mask=None, deterministic: bool = True,
                     lengths=None):
         t = q_in.shape[1]
-        q = _split_heads(self.query_layer(q_in), self.num_heads, self.dim_head)
-        k = _split_heads(self.key_layer(k_in), self.num_heads, self.dim_head)
-        v = _split_heads(self.value_layer(v_in), self.num_heads, self.dim_head)
+        q, k, v = self._project_qkv(q_in, k_in, v_in)
+        q = _split_heads(q, self.num_heads, self.dim_head)
+        k = _split_heads(k, self.num_heads, self.dim_head)
+        v = _split_heads(v, self.num_heads, self.dim_head)
         # Flash path: fully differentiable (custom_vjp with a Pallas flash
         # backward), so training uses it too — gated only on attention-
         # weight dropout being off (the kernel has no dropout; every AVEC
@@ -301,9 +338,14 @@ class RelPosPatch1dMultiHeadAttention(RelPos1dMultiHeadAttention):
                 mask = jnp.pad(mask, ((0, 0), (0, 0), qpad, (0, pad)))
         if mask is not None:
             mask = min_pool_mask(mask, p)
-        q_in = avg_pool(q_in, (p,), (p,))
-        k_in = avg_pool(k_in, (p,), (p,))
-        v_in = avg_pool(v_in, (p,), (p,))
+        if q_in is k_in and k_in is v_in:
+            # Pool once: keeps the arrays identical so the fused-QKV
+            # projection in the parent class still triggers.
+            q_in = k_in = v_in = avg_pool(q_in, (p,), (p,))
+        else:
+            q_in = avg_pool(q_in, (p,), (p,))
+            k_in = avg_pool(k_in, (p,), (p,))
+            v_in = avg_pool(v_in, (p,), (p,))
         o = super().forward_qkv(q_in, k_in, v_in, mask, deterministic)
         o = upsample_nearest(o, p, axis=1)
         return o[:, :t]
@@ -335,9 +377,7 @@ class RelPosMultiHeadSelfAttention(MultiHeadAttention):
     def forward_qkv(self, q_in, k_in, v_in, mask=None, deterministic: bool = True,
                     hidden=None, return_hidden: bool = False):
         t = q_in.shape[1]
-        q = self.query_layer(q_in)
-        k = self.key_layer(k_in)
-        v = self.value_layer(v_in)
+        q, k, v = self._project_qkv(q_in, k_in, v_in)
         if hidden is not None:
             k = jnp.concatenate([hidden["K"], k], axis=1)
             v = jnp.concatenate([hidden["V"], v], axis=1)
@@ -381,9 +421,7 @@ class GroupedRelPosMultiHeadSelfAttention(RelPosMultiHeadSelfAttention):
                     hidden=None, return_hidden: bool = False):
         t = q_in.shape[1]
         g = self.group_size
-        q = self.query_layer(q_in)
-        k = self.key_layer(k_in)
-        v = self.value_layer(v_in)
+        q, k, v = self._project_qkv(q_in, k_in, v_in)
         if hidden is not None:
             trim = hidden["K"].shape[1] % g
             kh_full = jnp.concatenate([hidden["K"], k], axis=1)
