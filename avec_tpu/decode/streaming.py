@@ -95,6 +95,7 @@ class StreamingTranscriber:
 
     SAMPLE_RATE = 16000
     FRAME_SAMPLES = 1280  # 12.5 Hz encoder output on 16 kHz input
+    UNBOUNDED_WARN_SECONDS = 60  # one-time O(T^2) cost warning threshold
 
     def __init__(self, model, decoder, hop_seconds: float = 0.48,
                  window_seconds: Optional[float] = None,
@@ -120,6 +121,7 @@ class StreamingTranscriber:
         self._carry = self.blank   # frame id at the last window cut
         self._fwd_cache = {}
         self._finished = False
+        self._warned_unbounded = False
         self.device_seconds = 0.0  # cumulative device+fetch time
 
     # ------------------------------------------------------------ device
@@ -196,6 +198,21 @@ class StreamingTranscriber:
         pcm = np.asarray(pcm, np.float32).reshape(-1)
         self._buffer = np.concatenate([self._buffer, pcm])
         self._pending += len(pcm)
+        if (self.window is None and not self._warned_unbounded
+                and len(self._buffer) > self.UNBOUNDED_WARN_SECONDS
+                * self.SAMPLE_RATE):
+            # Unbounded mode re-runs the full forward every hop, so a
+            # session's cumulative device cost grows O(T^2) — exact but it
+            # will silently crawl on minute-long sessions. Surface it once.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "unbounded streaming session passed %d s buffered; per-push "
+                "cost grows with the whole session (O(T^2) cumulative). Set "
+                "window_seconds for bounded cost, or use the causal encoder "
+                "+ CausalStreamingTranscriber for exact O(chunk) streaming.",
+                self.UNBOUNDED_WARN_SECONDS)
+            self._warned_unbounded = True
         if self._pending >= self.hop and len(self._buffer) >= self.FRAME_SAMPLES:
             self._pending = 0
             preds = self._forward_preds(self._buffer)
