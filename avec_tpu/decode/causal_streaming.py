@@ -123,7 +123,9 @@ class CausalStreamingTranscriber:
             blocks.append({"att": {"K": mk(shapes["att"]["K"]),
                                    "V": mk(shapes["att"]["V"])},
                            "conv": mk(shapes["conv"])})
-        return {"stem": jnp.zeros((1, 80, 2, 1), dtype), "blocks": blocks}
+        # Stem tail is time-major, matching the encoder's stem orientation:
+        # (B, 2 tail frames, n_mels, 1).
+        return {"stem": jnp.zeros((1, 2, 80, 1), dtype), "blocks": blocks}
 
     def _build(self):
         import jax

@@ -604,6 +604,7 @@ class ConvNeuralNetwork(nn.Module):
     weight_init: Any = "default"
     bias_init: Any = "default"
     polyphase: Any = False
+    spatial_swap: bool = False  # see ops.layers.Conv.spatial_swap
 
     @nn.compact
     def __call__(self, x, lengths=None, deterministic: bool = True):
@@ -623,6 +624,7 @@ class ConvNeuralNetwork(nn.Module):
                      padding=self.padding, weight_init=self.weight_init,
                      bias_init=self.bias_init, polyphase=self.polyphase,
                      bias_stop_gradient=bias_sg,
+                     spatial_swap=self.spatial_swap,
                      name=f"conv_{i}")(x)
             if self.norm is not None:
                 if norm_cls is BatchNorm:

@@ -290,18 +290,24 @@ class AudioEfficientConformerEncoder(nn.Module):
             sa = SpecAugment(mF=2, F=27, mT=5, pS=0.05)
             x = sa(x, lengths, self.make_rng("augment"), training=True)
 
-        # (B, n_mels, T') -> (B, n_mels, T', 1) -> stem -> (B, 40, T'', 180)
-        # Causal variant: centered in frequency, causal in time.
-        x = x[..., None].astype(compute_dtype)
+        # Stem runs TIME-MAJOR: (B, n_mels, T') -> (B, T', n_mels, 1) ->
+        # conv2d (spatial_swap keeps the stored kernel in the reference
+        # (freq, time) layout) -> (B, T'', 40, 180). The flatten to
+        # (B, T'', F'*C) is then a bitcast — the freq-major orientation
+        # spent ~0.7 ms/step (B=16) on the (B,F,T,C)->(B,T,F,C) transpose
+        # copy + non-bitcast reshape feeding `linear`.
+        # Causal variant: causal in time (axis 1 here), centered in freq.
+        x = x.transpose(0, 2, 1)[..., None].astype(compute_dtype)
         x, lengths = ConvNeuralNetwork(
             dim_layers=subsampling_filters, kernel_size=3, strides=2,
             norm="BatchNorm2d", act_fun="Swish", ndim=2, polyphase=True,
-            padding=("same", "causal") if causal else "same",
+            padding=("causal", "same") if causal else "same",
+            spatial_swap=True,
             name="subsampling_module")(x, lengths, deterministic=not training)
 
-        # Flatten frequency into features: (B, F', T'', C) -> (B, T'', F'*C).
-        b, f, t, c = x.shape
-        x = x.transpose(0, 2, 1, 3).reshape(b, t, f * c)
+        # Flatten frequency into features: (B, T'', F', C) -> (B, T'', F'*C).
+        b, t, f, c = x.shape
+        x = x.reshape(b, t, f * c)
         x = Linear(dim_model[0], name="linear")(x)
 
         if causal:
@@ -345,18 +351,20 @@ class AudioEfficientConformerEncoder(nn.Module):
         2, 1) fbank tail, "blocks": per-run conformer states}. masks: per-
         stage streaming attention masks. Module names/params are identical
         to the offline path. Returns (logits, interctc, new_state)."""
-        x = x[..., None].astype(compute_dtype)
+        # Time-major like the offline path: (B, n_mels, Tc) -> (B, Tc, F, 1).
+        x = x.transpose(0, 2, 1)[..., None].astype(compute_dtype)
         # Causal stem via carried tail: conv VALID over concat(tail, chunk)
-        # in time == the offline ("same", "causal") stem.
-        x = jnp.concatenate([state["stem"].astype(x.dtype), x], axis=2)
-        new_stem = {"stem": x[:, :, -2:, :]}
+        # in time == the offline ("causal", "same") stem. Tail is carried
+        # time-major: (B, 2, n_mels, 1).
+        x = jnp.concatenate([state["stem"].astype(x.dtype), x], axis=1)
+        new_stem = {"stem": x[:, -2:, :, :]}
         x = ConvNeuralNetwork(
             dim_layers=subsampling_filters, kernel_size=3, strides=2,
             norm="BatchNorm2d", act_fun="Swish", ndim=2, polyphase=True,
-            padding=("same", "valid"),
+            padding=("valid", "same"), spatial_swap=True,
             name="subsampling_module")(x, None, deterministic=True)
-        b, f, t, c = x.shape
-        x = x.transpose(0, 2, 1, 3).reshape(b, t, f * c)
+        b, t, f, c = x.shape
+        x = x.reshape(b, t, f * c)
         x = Linear(dim_model[0], name="linear")(x)
 
         xl = {"class": "RelPosMultiHeadSelfAttention",

@@ -268,6 +268,15 @@ class Conv(nn.Module):
     # full reduction over the activation (~3 ms/step for the video stem at
     # B=16). The forward value is unchanged.
     bias_stop_gradient: bool = False
+    # 2-D only: swap the kernel's two spatial axes at apply time. Lets a
+    # caller feed the input with its spatial axes transposed (e.g. the
+    # audio stem running time-major so the (B,F,T,C)->(B,T,F*C) flatten
+    # after it is a bitcast instead of a 69 MB transpose copy) while the
+    # stored param — and therefore checkpoints and the torch converter —
+    # keeps the reference (kh, kw) layout. The caller must also swap its
+    # per-axis padding/strides. Math is identical: conv with transposed
+    # input and transposed kernel is the transpose of the original conv.
+    spatial_swap: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -277,8 +286,18 @@ class Conv(nn.Module):
         in_ch = x.shape[-1]
         assert in_ch % self.groups == 0
         kernel_shape = ks + (in_ch // self.groups, self.features)
+        if self.spatial_swap:
+            assert self.ndim == 2, "spatial_swap is 2-D only"
+            # ks/strides/pads arrive in the caller's swapped (axis1, axis0)
+            # order; the stored param keeps the reference (axis0, axis1)
+            # layout, so its shape uses the un-swapped order.
+            param_shape = (kernel_shape[1], kernel_shape[0]) + kernel_shape[2:]
+        else:
+            param_shape = kernel_shape
         # torch fan_in for conv = (in_ch / groups) * prod(kernel).
-        kernel = self.param("kernel", get_init(self.weight_init), kernel_shape)
+        kernel = self.param("kernel", get_init(self.weight_init), param_shape)
+        if self.spatial_swap:
+            kernel = kernel.transpose(1, 0, 2, 3)
         if self.kernel_mask is not None:
             kernel = kernel * jnp.asarray(self.kernel_mask, kernel.dtype)
         y = None

@@ -103,6 +103,21 @@ class Model:
         self.grad_max_norm = None
         self.seed = seed
         self.base_rng = jax.random.PRNGKey(seed)
+        # Training-step RNG (dropout/augment draws only; param init keeps
+        # the threefry base_rng). flax derives a key per module path per
+        # microbatch via fold_in; under threefry every fold_in traces as a
+        # ~50-op scalar hash — measured 19.3k scalar HLO ops (~2.4 ms/step
+        # and a third of the compiled program) on the AV model at B=16.
+        # unsafe_rbg makes key derivation O(1) ops and bulk bits a single
+        # RngBitGenerator op; "unsafe" refers to derived-stream statistical
+        # quality, which is irrelevant for dropout masks. Override with
+        # AVEC_TPU_TRAIN_PRNG=threefry2x32 for bit-identical legacy draws.
+        impl = os.environ.get("AVEC_TPU_TRAIN_PRNG", "unsafe_rbg")
+        try:
+            # Typed key (jax.random.key): raw uint32 keys lose their impl.
+            self.train_rng = jax.random.key(seed, impl=impl)
+        except (TypeError, ValueError):  # unknown impl name: keep default
+            self.train_rng = self.base_rng
         self.mesh = None
         # Tensor parallelism: list of (path-regex, PartitionSpec) rules
         # applied at build time (see parallel/mesh.py:param_shardings and
@@ -633,7 +648,7 @@ class Model:
                 # (A, B, ...) stacks: the batch axis is axis 1.
                 batch = pmesh.host_local_batch_to_global(self.mesh, batch,
                                                          batch_axis=1)
-                rng = jax.random.fold_in(self.base_rng, self.model_step + 1)
+                rng = jax.random.fold_in(self.train_rng, self.model_step + 1)
 
                 state = self._state()
                 expected_step = self.model_step + 1
@@ -990,7 +1005,7 @@ class Model:
             for batch in dataset:
                 inputs = pmesh.host_local_batch_to_global(
                     self.mesh, batch)["inputs"]
-                rng = jax.random.fold_in(self.base_rng, 999_000 + steps)
+                rng = jax.random.fold_in(self.train_rng, 999_000 + steps)
                 self.batch_stats = bn_step(self.params, self.batch_stats,
                                            inputs, rng)
                 steps += 1

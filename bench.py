@@ -135,7 +135,11 @@ def bench_jax():
     gbatch = pmesh.host_local_batch_to_global(model.mesh, stacked, batch_axis=1)
 
     state = model._state()
-    rng = jax.random.PRNGKey(0)
+    # Same key construction as Model.fit: train_rng is unsafe_rbg by default
+    # (O(1) per-module key derivation vs ~19k scalar threefry ops/step —
+    # see train/model.py). Benching with a raw threefry key would time a
+    # different program than training runs.
+    rng = jax.random.fold_in(model.train_rng, 1)
     for i in range(WARMUP):
         state, (losses, _, _) = train_step(state, gbatch, rng)
     jax.block_until_ready(state["params"])
