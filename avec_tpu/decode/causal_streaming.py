@@ -96,10 +96,14 @@ class CausalStreamingTranscriber:
         from avec_tpu.models.conformer import ConformerInterCTC
 
         net = self.model.net
-        # Mirrors AudioEfficientConformerEncoder's back_end construction
-        # (dim_model/num_blocks/kernel_size fixed by the architecture).
+        # Mirrors AudioEfficientConformerEncoder's back_end construction.
+        # dim_model/kernel_size are architecture constants hardcoded there
+        # (encoders.py: dim_model=[180,256,360], kernel_size=15);
+        # num_blocks/interctc_blocks come from the LIVE model so non-default
+        # sizes (e.g. configs/Synthetic num_blocks=[2,2,1]) get correct
+        # cache shapes instead of silently wrong ones.
         return ConformerInterCTC(
-            dim_model=[180, 256, 360], num_blocks=[5, 6, 5],
+            dim_model=[180, 256, 360], num_blocks=list(net.num_blocks),
             interctc_blocks=list(net.interctc_blocks),
             vocab_size=net.vocab_size, att_params=None,
             kernel_size=15, conv_stride=2).stream_plan()

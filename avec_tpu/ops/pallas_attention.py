@@ -25,8 +25,13 @@ This is the long-sequence path (16 s audio at the 50 Hz stage -> T ~ 800+,
 "regular"/non-patch attention); at AVEC's short post-stride lengths the XLA
 skew path is faster, so callers opt in via `use_flash`. Measured on v5e-1 at
 B=8, H=4, T=1600, D=360 (bf16): 5.2 ms/layer vs 23.5 ms for the XLA skew
-path (4.5x), max abs output diff 2.4e-4. Forward-only kernel (training at
-long T uses the XLA factorized path for the backward).
+path (4.5x), max abs output diff 2.4e-4.
+
+Both directions are Pallas: the forward carries a lane-replicated lse
+residual and `_flash_bwd` computes dq/dk/dv (plus the augmented-feature
+gradients for the rel-pos columns) with the same streaming structure, so
+training never materializes a (T, T) tensor either. Training eligibility is
+gated on attn_drop_rate == 0 (all AVEC configs).
 """
 
 import functools

@@ -117,6 +117,12 @@ class Model:
             # Typed key (jax.random.key): raw uint32 keys lose their impl.
             self.train_rng = jax.random.key(seed, impl=impl)
         except (TypeError, ValueError):  # unknown impl name: keep default
+            import warnings
+            warnings.warn(
+                f"AVEC_TPU_TRAIN_PRNG={impl!r} is not a PRNG impl this JAX "
+                "supports; falling back to the raw threefry base key. "
+                "Dropout/augment draws will follow the legacy threefry "
+                "stream, NOT the requested impl.", RuntimeWarning)
             self.train_rng = self.base_rng
         self.mesh = None
         # Tensor parallelism: list of (path-regex, PartitionSpec) rules

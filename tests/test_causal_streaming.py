@@ -146,3 +146,42 @@ def test_causal_streaming_committed_prefix_monotonic():
     for run_state in st._state["blocks"]:
         k = np.asarray(run_state["att"]["K"])
         assert k.shape[-2] <= st.left_context
+
+
+@pytest.mark.slow
+def test_causal_streaming_nondefault_shape():
+    """num_blocks=[2,2,1] (the Synthetic config scale): the streaming plan
+    must derive cache shapes from the LIVE model, not the default [5,6,5]
+    architecture — wrong shapes crash or silently corrupt state."""
+    from avec_tpu.decode.causal_streaming import (
+        CausalStreamingTranscriber,
+        _od,
+    )
+    from avec_tpu.models import zoo
+    from avec_tpu.train.losses import CTCLoss
+
+    m = zoo.AudioEfficientConformerInterCTC(
+        interctc_blocks=[], num_blocks=[2, 2, 1],
+        causal=True, left_context=32)
+    m.compile(losses=CTCLoss(zero_infinity=True, assert_shorter=False))
+    rng = np.random.RandomState(5)
+    n = 20000
+    audio = (rng.randn(n) * 0.1).astype(np.float32)
+    lens = np.array([n], np.int32)
+    m.build([audio[None], lens])
+
+    out, _ = m.apply_net(m.params, m.batch_stats, [audio[None], lens],
+                         False, None)
+    off_logits = np.asarray(out["outputs"][0], np.float32)
+    off_len = int(np.asarray(out["outputs"][1])[0])
+    assert off_len == _od(_od(_od(n // 160 + 1)))
+
+    st = CausalStreamingTranscriber(m, _IdDec(), chunk_frames=16)
+    st.collect_logits = True
+    for s in range(0, n, 4000):
+        st.push(audio[s: s + 4000])
+    st.finish()
+    stream_logits = np.concatenate(st.logits_chunks, axis=0)[:st._o_total]
+    assert stream_logits.shape[0] == off_len
+    np.testing.assert_allclose(stream_logits, off_logits[0, :off_len],
+                               atol=2e-4)

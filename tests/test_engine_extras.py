@@ -53,3 +53,39 @@ def test_compile_with_string_specs():
     assert type(m.compiled_losses).__name__ == "CTCLoss"
     assert type(m.compiled_metrics).__name__ == "WordErrorRate"
     assert type(m.compiled_decoders).__name__ == "ArgMaxDecoder"
+
+
+def test_train_prng_env_override_pins_legacy_stream(monkeypatch):
+    """AVEC_TPU_TRAIN_PRNG=threefry2x32 must reproduce the legacy stream.
+
+    Regression guard for checkpoint-reproducibility claims: fit() folds
+    `train_rng` by step (train/model.py), so pinning the folded draws pins
+    every dropout/augment draw fit() makes.
+    """
+    import jax
+
+    from avec_tpu.train.model import Model
+
+    monkeypatch.setenv("AVEC_TPU_TRAIN_PRNG", "threefry2x32")
+    model = Model(seed=7)
+    legacy = jax.random.PRNGKey(7)
+    for step in (1, 2, 17):
+        got = jax.random.uniform(
+            jax.random.fold_in(model.train_rng, step), (8,))
+        want = jax.random.uniform(jax.random.fold_in(legacy, step), (8,))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_train_prng_unknown_impl_warns_and_falls_back(monkeypatch):
+    import jax
+
+    from avec_tpu.train.model import Model
+
+    monkeypatch.setenv("AVEC_TPU_TRAIN_PRNG", "definitely-not-a-prng")
+    with pytest.warns(RuntimeWarning, match="not a PRNG impl"):
+        model = Model(seed=3)
+    # Fallback is the raw threefry base key (legacy stream).
+    got = jax.random.uniform(jax.random.fold_in(model.train_rng, 1), (4,))
+    want = jax.random.uniform(
+        jax.random.fold_in(jax.random.PRNGKey(3), 1), (4,))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
