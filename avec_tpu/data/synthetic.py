@@ -172,6 +172,104 @@ class ToneSpeechDataset(Dataset):
                                    limit or self.num_samples))]
 
 
+class ToneAVSpeechDataset(Dataset):
+    """LEARNABLE synthetic AUDIO-VISUAL 'speech' (the AV analogue of
+    ToneSpeechDataset, backing configs/Synthetic/AV-Tone.py).
+
+    Each token is a 100 ms event with 50 ms gaps:
+
+      * AUDIO carries only the token's acoustic class: frequency depends on
+        ``(tok - 1) % n_audio_classes`` — tokens ``t`` and
+        ``t + n_audio_classes`` are acoustically IDENTICAL.
+      * VIDEO (25 fps, 88x88x1 grayscale, LRS frame geometry) shows a bright
+        cell on an 8x8 grid whose position encodes the FULL token id.
+
+    A model therefore cannot reach low WER from audio alone (~50% floor by
+    construction); WER collapse requires information to flow through the
+    video encoder AND the fusion module — this is the offline proof that the
+    video/fusion path trains (the reference proves it with released VO/AV
+    checkpoints, /root/reference/README.md:152-153, which are network-gated
+    here).
+
+    Tuple layout matches LRS (datasets.py:326-366):
+    (video, audio, label, video_len, audio_len, label_len), and the video is
+    pre-aligned to the audio (Tv = Ta//640 + 1, transforms.py:169-180).
+    Shapes are FIXED (padded to max) so the train step compiles once.
+    """
+
+    def __init__(self, num_samples=512, vocab_size=32, min_len=2, max_len=8,
+                 sr=16000, seed=0, batch_size=16, collate_fn=None,
+                 shuffle=True):
+        from avec_tpu.data.collate import CollateFn
+
+        if collate_fn is None:
+            # Same spec as the real AV config (configs/LRS23/AV).
+            collate_fn = CollateFn(
+                inputs_params=[{"axis": 0, "padding": True}, {"axis": 3},
+                               {"axis": 1, "padding": True}, {"axis": 4}],
+                targets_params=({"axis": 2, "padding": True}, {"axis": 5}))
+        super().__init__(batch_size=batch_size, collate_fn=collate_fn,
+                         shuffle=shuffle)
+        self.num_samples = num_samples
+        self.vocab_size = vocab_size
+        self.n_audio_classes = max((vocab_size - 1) // 2, 1)
+        self.min_len, self.max_len = min_len, max_len
+        self.sr = sr
+        self.seed = seed
+
+    def __len__(self):
+        return self.num_samples
+
+    def token_ids(self, idx):
+        rng = np.random.RandomState(self.seed + idx)
+        n = rng.randint(self.min_len, self.max_len + 1)
+        return rng.randint(1, self.vocab_size, size=n).astype(np.int32)
+
+    def corpus_lines(self, limit=None):
+        return [" ".join(f"w{t}" for t in self.token_ids(i))
+                for i in range(min(self.num_samples,
+                                   limit or self.num_samples))]
+
+    def __getitem__(self, idx):
+        rng = np.random.RandomState(self.seed + idx)
+        n = rng.randint(self.min_len, self.max_len + 1)
+        tokens = rng.randint(1, self.vocab_size, size=n).astype(np.int32)
+        burst = int(0.1 * self.sr)
+        gap = int(0.05 * self.sr)
+        period = burst + gap
+        t = np.arange(burst) / self.sr
+        env = np.hanning(burst)
+
+        max_audio = self.max_len * period
+        audio = np.zeros(max_audio, np.float32)
+        for i, tok in enumerate(tokens):
+            # Audio frequency from the AMBIGUOUS acoustic class only.
+            acls = 1 + (int(tok) - 1) % self.n_audio_classes
+            freq = 200.0 + 120.0 * acls
+            audio[i * period: i * period + burst] = (
+                np.sin(2 * np.pi * freq * t) * env * 0.3)
+        true_len = n * period
+        audio += rng.randn(max_audio).astype(np.float32) * 0.01
+
+        # Video: frame f covers samples [f*640, (f+1)*640).
+        max_frames = max_audio // 640 + 1
+        v_len = true_len // 640 + 1
+        video = rng.rand(max_frames, 88, 88, 1).astype(np.float32) * 0.1
+        cell = 11  # 88 / 8
+        for f in range(max_frames):
+            s = f * 640
+            i = s // period
+            if i < n and (s % period) < burst:
+                tok = int(tokens[i]) - 1
+                r, c = (tok // 8) * cell, (tok % 8) * cell
+                video[f, r: r + cell, c: c + cell, 0] = 1.0
+
+        tokens_fixed = np.zeros(self.max_len, np.int32)
+        tokens_fixed[:n] = tokens
+        return (video, audio, tokens_fixed,
+                np.int32(v_len), np.int32(true_len), np.int32(n))
+
+
 def tone_tokenizer(vocab_size: int):
     """Word-per-token tokenizer matching ToneSpeechDataset ids."""
     from avec_tpu.utils.tokenizer import WORD_BOUNDARY, Tokenizer

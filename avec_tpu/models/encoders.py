@@ -493,6 +493,12 @@ class AudioVisualEfficientConformerEncoder(nn.Module):
     v_interctc_blocks: Sequence[int] = (3, 6)
     a_interctc_blocks: Sequence[int] = (8, 11)
     f_interctc_blocks: Sequence[int] = (2,)
+    # Block counts per sub-encoder; defaults are the reference architecture
+    # (networks.py:514-528) and MUST stay so for checkpoint parity. Smaller
+    # values back the synthetic AV lifecycle (configs/Synthetic/AV-Tone.py).
+    v_num_blocks: Sequence[int] = (6, 1)
+    a_num_blocks: Sequence[int] = (5, 6, 1)
+    f_num_blocks: int = 5
     remat: bool = False
     # Pallas flash attention for the audio encoder's RelPos1d stages (the
     # long-sequence path; video/fusion stages run at <=12.5 Hz where the
@@ -501,19 +507,21 @@ class AudioVisualEfficientConformerEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, video, video_len, audio, audio_len, training: bool = False):
-        dim_model, num_blocks, num_heads = 360, 5, 4
+        dim_model, num_blocks, num_heads = 360, self.f_num_blocks, 4
         drop_rate, attn_drop_rate = 0.1, 0.0
         max_pos_encoding, kernel_size = 10000, 15
 
         v, video_len, v_inter = VisualEfficientConformerEncoder(
             include_head=False, vocab_size=self.vocab_size,
-            interctc_blocks=list(self.v_interctc_blocks), num_blocks=[6, 1],
+            interctc_blocks=list(self.v_interctc_blocks),
+            num_blocks=list(self.v_num_blocks),
             loss_prefix="v_ctc", remat=self.remat, name="video_encoder")(
                 video, video_len, training=training)
 
         a, audio_len, a_inter = AudioEfficientConformerEncoder(
             include_head=False, vocab_size=self.vocab_size,
-            interctc_blocks=list(self.a_interctc_blocks), num_blocks=[5, 6, 1],
+            interctc_blocks=list(self.a_interctc_blocks),
+            num_blocks=list(self.a_num_blocks),
             loss_prefix="a_ctc", remat=self.remat, use_flash=self.use_flash,
             name="audio_encoder")(audio, audio_len, training=training)
 

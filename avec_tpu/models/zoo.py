@@ -202,6 +202,9 @@ class _AVInterCTCNet(nn.Module):
     v_interctc_blocks: Sequence[int] = (3, 6)
     a_interctc_blocks: Sequence[int] = (8, 11)
     f_interctc_blocks: Sequence[int] = (2,)
+    v_num_blocks: Sequence[int] = (6, 1)
+    a_num_blocks: Sequence[int] = (5, 6, 1)
+    f_num_blocks: int = 5
     remat: bool = False
     use_flash: bool = False
 
@@ -213,6 +216,9 @@ class _AVInterCTCNet(nn.Module):
             v_interctc_blocks=list(self.v_interctc_blocks),
             a_interctc_blocks=list(self.a_interctc_blocks),
             f_interctc_blocks=list(self.f_interctc_blocks),
+            v_num_blocks=tuple(self.v_num_blocks),
+            a_num_blocks=tuple(self.a_num_blocks),
+            f_num_blocks=self.f_num_blocks,
             remat=self.remat, use_flash=self.use_flash,
             name="encoder")(video, video_len, audio, audio_len,
                             training=training)
@@ -228,13 +234,17 @@ class AudioVisualEfficientConformerInterCTC(Model):
                  v_interctc_blocks: Sequence[int] = (3, 6),
                  a_interctc_blocks: Sequence[int] = (8, 11),
                  f_interctc_blocks: Sequence[int] = (2,), remat: bool = False,
-                 use_flash: bool = False):
+                 use_flash: bool = False,
+                 v_num_blocks: Sequence[int] = (6, 1),
+                 a_num_blocks: Sequence[int] = (5, 6, 1),
+                 f_num_blocks: int = 5):
         super().__init__(name="Audio-Visual Efficient Conformer Inter CTC")
         self.net = _AVInterCTCNet(
             vocab_size=vocab_size, v_interctc_blocks=tuple(v_interctc_blocks),
             a_interctc_blocks=tuple(a_interctc_blocks),
             f_interctc_blocks=tuple(f_interctc_blocks), remat=remat,
-            use_flash=use_flash)
+            use_flash=use_flash, v_num_blocks=tuple(v_num_blocks),
+            a_num_blocks=tuple(a_num_blocks), f_num_blocks=f_num_blocks)
 
     def compile(self, losses=None, loss_weights=None, optimizer="Adam",
                 metrics=None, decoders=None):

@@ -17,6 +17,9 @@ CONFIGS = [
     "configs.LRS23.LM.GPT-Small-demo",
     "configs.LRW.EffConfCE",
     "configs.LibriSpeechCorpus.GPT-Small",
+    "configs.Synthetic.AO-Tone",
+    "configs.Synthetic.AV-Tone",
+    "configs.Synthetic.LM-Tone",
 ]
 
 

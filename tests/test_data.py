@@ -274,3 +274,33 @@ def test_loader_bucketing_keeps_epoch_reshuffle():
     e1 = [tuple(b) for b in dl]
     assert sorted(i for b in e0 for i in b) == list(range(32))
     assert e0 != e1  # epoch reshuffle changes batch composition/order
+
+
+def test_tone_av_dataset_contract():
+    """ToneAVSpeechDataset: LRS tuple layout, audio/video alignment, audio
+    ambiguity + video disambiguation by construction."""
+    from avec_tpu.data.synthetic import ToneAVSpeechDataset
+
+    ds = ToneAVSpeechDataset(num_samples=8, vocab_size=32, seed=0,
+                             batch_size=4)
+    video, audio, label, v_len, a_len, n = ds[0]
+    period, burst = 2400, 1600
+    assert video.shape == (ds.max_len * period // 640 + 1, 88, 88, 1)
+    assert audio.shape == (ds.max_len * period,)
+    assert label.shape == (ds.max_len,)
+    assert int(v_len) == int(a_len) // 640 + 1  # align_video_to_audio parity
+    toks = ds.token_ids(0)
+    assert int(n) == len(toks) and np.array_equal(label[: len(toks)], toks)
+
+    # Video: during token i's burst, the cell encoding the FULL token id is
+    # bright; audio ambiguity: tokens t and t+15 share an acoustic class.
+    tok = int(toks[0]) - 1
+    r, c = (tok // 8) * 11, (tok % 8) * 11
+    f = burst // 2 // 640  # a frame inside the first burst
+    assert video[f, r + 5, c + 5, 0] == 1.0
+    assert ds.n_audio_classes == 15
+
+    # Collate: real AV spec -> 4 inputs + 2 targets.
+    batch = ds.collate_fn([ds[i] for i in range(4)])
+    assert len(batch["inputs"]) == 4 and len(batch["targets"]) == 2
+    assert batch["inputs"][0].shape[0] == 4

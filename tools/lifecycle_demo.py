@@ -24,7 +24,15 @@ Asserts the final WER is finite and improved over init. Runtime is
 compile-dominated on the 1-core CPU host (~30-45 min cold, much less with a
 warm /tmp/avec_tpu_jax_cache); pass --steps to change the training budget.
 
-Usage: python tools/lifecycle_demo.py [--steps 400] [--skip_lm]
+--av runs the AUDIO-VISUAL chain instead (configs/Synthetic/AV-Tone.py):
+same modes, but the dataset's audio is ambiguous by construction (tokens t
+and t+15 sound identical; only the video pattern disambiguates), so a WER
+collapse proves the Conv3d stem + ResNet18 + video conformer + FusionModule
+path trains — including SWA BN re-estimation over video BN layers. This is
+the offline analogue of the reference's released VO/AV checkpoints
+(/root/reference/README.md:152-153).
+
+Usage: python tools/lifecycle_demo.py [--steps 400] [--skip_lm] [--av]
 """
 
 import argparse
@@ -69,13 +77,16 @@ def main():
                     help="skip the GPT-rescorer leg (beam+ARPA only)")
     ap.add_argument("--fresh", action="store_true",
                     help="delete callbacks/Synthetic before starting")
+    ap.add_argument("--av", action="store_true",
+                    help="run the audio-visual chain (AV-Tone.py)")
     args = ap.parse_args()
 
     if args.fresh:
         shutil.rmtree(os.path.join(REPO, "callbacks/Synthetic"),
                       ignore_errors=True)
 
-    cfg = "configs/Synthetic/AO-Tone.py"
+    name = "AV-Tone" if args.av else "AO-Tone"
+    cfg = f"configs/Synthetic/{name}.py"
     spe = max(args.steps // 2, 1)
 
     # 1. Random-init evaluation: the baseline WER (beam + ARPA, no LM ckpt
@@ -100,8 +111,8 @@ def main():
 
     # 5. Full-stack evaluation of the SWA checkpoint: beam + ARPA (+ GPT
     #    rescoring now that LM-Tone has a checkpoint) + exact corpus WER.
-    swa = [f for f in os.listdir(os.path.join(REPO, "callbacks/Synthetic/"
-                                              "AO-Tone"))
+    swa = [f for f in os.listdir(os.path.join(REPO, "callbacks/Synthetic",
+                                              name))
            if f.startswith("checkpoints_swa")]
     assert swa, "swa produced no checkpoint"
     out = run_main("-c", cfg, "-m", "evaluation",
