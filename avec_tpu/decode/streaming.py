@@ -196,6 +196,15 @@ class StreamingTranscriber:
         """Ingest a chunk of float PCM; return the current partial result."""
         assert not self._finished, "push() after finish()"
         pcm = np.asarray(pcm, np.float32).reshape(-1)
+        if self.window is not None and len(pcm) > self.hop:
+            # Windowed mode state bound: a giant push is processed hop by
+            # hop so the encoder never sees more than window + hop samples —
+            # the jit bucket set is capped at _bucket(window + hop) and RSS
+            # stays O(window) no matter how much PCM one call delivers.
+            out = None
+            for s in range(0, len(pcm), self.hop):
+                out = self.push(pcm[s: s + self.hop])
+            return out
         self._buffer = np.concatenate([self._buffer, pcm])
         self._pending += len(pcm)
         if (self.window is None and not self._warned_unbounded

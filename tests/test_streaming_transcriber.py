@@ -168,3 +168,22 @@ def test_streaming_windowed_bounded_and_monotonic(tmp_path):
     assert committed_lens[-1] > 0
     assert len(st._buffer) <= 3.0 * 16000 + 8000
     assert final["text"] != ""
+
+
+@pytest.mark.slow
+def test_streaming_windowed_giant_push_bounded_buckets(tmp_path):
+    """A single giant push in windowed mode must not run the encoder over
+    the whole PCM: it processes hop-by-hop, so the jit bucket set is capped
+    at bucket(window + hop) and state stays O(window)."""
+    m, dec = _make_setup(tmp_path)
+    rng = np.random.RandomState(13)
+    audio = (rng.randn(20 * 16000) * 0.1).astype(np.float32)
+
+    st = StreamingTranscriber(m, dec, hop_seconds=0.5, window_seconds=3.0,
+                              commit_margin_seconds=0.5)
+    r = st.push(audio)  # 20 s in ONE call, 3 s window
+    assert r["buffered_seconds"] <= 3.0 + 0.5 + 1e-6
+    cap = st._bucket(st.window + st.hop)
+    assert st._fwd_cache and all(b <= cap for b in st._fwd_cache)
+    fin = st.finish()
+    assert isinstance(fin["text"], str)

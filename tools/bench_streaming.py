@@ -63,6 +63,11 @@ def main():
     ap.add_argument("--platform", default=os.environ.get("STREAM_PLATFORM",
                                                          "cpu"))
     ap.add_argument("--skip_unbounded", action="store_true")
+    ap.add_argument("--window", type=float, default=0.0,
+                    help="also run a WINDOWED session bounded to this many "
+                         "seconds: reports the latency curve, the jit "
+                         "bucket set, and RSS — all must stay flat/bounded "
+                         "over a minutes-long session")
     args = ap.parse_args()
 
     import jax
@@ -108,6 +113,38 @@ def main():
         "p50_ms": round(1e3 * sorted(lat)[len(lat) // 2], 1),
         "p95_ms": round(1e3 * sorted(lat)[int(len(lat) * 0.95)], 1),
     }), flush=True)
+
+    if args.window > 0:
+        # Windowed bounded-state session: O(window) memory by construction
+        # (committed PCM is dropped; giant pushes process hop-by-hop so the
+        # encoder never sees more than window + hop samples).
+        import resource
+
+        wmodel = AudioEfficientConformerInterCTC(vocab_size=32)
+        wmodel.compile()
+        ws = StreamingTranscriber(wmodel, dec, hop_seconds=args.hop,
+                                  window_seconds=args.window)
+        w_lat, max_buf = [], 0
+        for i in range(0, len(pcm) - hop + 1, hop):
+            t0 = time.perf_counter()
+            ws.push(pcm[i: i + hop])
+            w_lat.append(time.perf_counter() - t0)
+            max_buf = max(max_buf, len(ws._buffer))
+        ws.finish()
+        lat = w_lat[1:]
+        print(json.dumps({
+            "metric": "streaming_push_latency_p50_ms_per_10s",
+            "mode": f"windowed_{args.window:g}s",
+            "push_seconds": args.hop,
+            "curve": _curve(lat, args.hop),
+            "p50_ms": round(1e3 * sorted(lat)[len(lat) // 2], 1),
+            "p95_ms": round(1e3 * sorted(lat)[int(len(lat) * 0.95)], 1),
+            "jit_buckets": sorted(ws._fwd_cache),
+            "max_buffered_samples": max_buf,
+            "bound_samples": ws.window + ws.hop,
+            "maxrss_mb": round(
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024),
+        }), flush=True)
 
     if args.skip_unbounded:
         return
