@@ -286,3 +286,96 @@ def pkw_no_cutoff(pkw):
     kw.pop("cutoff_top_n", None)
     kw.pop("beam_size", None)
     return kw
+
+
+# ------------------------------------------------- device (jitted) decoder
+def test_exhaustive_oracle_device_no_lm():
+    """The jitted lax.scan decoder (decode/device_beam.py), unpruned, also
+    matches the enumeration oracle — independent of both host decoders."""
+    from avec_tpu.decode.device_beam import device_beam_search
+
+    rng = np.random.RandomState(3)
+    for trial in range(8):
+        t = int(rng.randint(2, 6))
+        v = int(rng.randint(2, 5))
+        logp = _rand_logp(rng, t, v).astype(np.float32)
+        oracle = brute_force_scores(logp.astype(np.float64), t)
+        beams = device_beam_search(logp[None], np.array([t]),
+                                   beam_size=_full_beam(v, t))[0]
+        got = {p: s for p, s in beams if s > -1e29}
+        assert set(got) == set(oracle), (trial, t, v)
+        for lab, s in oracle.items():
+            assert abs(got[lab] - s) < 1e-3, (trial, lab, got[lab], s)
+        best = max(oracle, key=oracle.get)
+        assert beams[0][0] == best, (trial, beams[0][0], best)
+
+
+def test_exhaustive_oracle_device_with_arpa(tmp_path):
+    """Device n-gram shallow fusion (packed-key binary search) == the
+    enumeration oracle's independent ArpaLM walk."""
+    from avec_tpu.decode.device_beam import (
+        DeviceNgramTables,
+        device_beam_search,
+    )
+
+    rng = np.random.RandomState(4)
+    words = ["a", "b", "c"]
+    for trial in range(6):
+        arpa = _write_random_arpa(
+            rng, os.path.join(str(tmp_path), f"dlm{trial}.arpa"), words)
+        lm = ArpaLM(arpa)
+        tables = DeviceNgramTables(lm, offset=96)
+        t = int(rng.randint(2, 6))
+        v = len(words) + 1
+        alpha = float(rng.uniform(0.2, 1.5))
+        beta = float(rng.uniform(-0.5, 1.5))
+        logp = _rand_logp(rng, t, v).astype(np.float32)
+        to_word = lambda i: chr(i + 96)
+        oracle = brute_force_scores(logp.astype(np.float64), t, lm=lm,
+                                    alpha=alpha, beta=beta,
+                                    token_to_word=to_word)
+        beams = device_beam_search(logp[None], np.array([t]),
+                                   beam_size=_full_beam(v, t),
+                                   tables=tables, alpha=alpha, beta=beta)[0]
+        got = {p: s for p, s in beams if s > -1e29}
+        assert set(got) == set(oracle), (trial,)
+        for lab, s in oracle.items():
+            assert abs(got[lab] - s) < 2e-3, (trial, lab, got[lab], s)
+        assert beams[0][0] == max(oracle, key=oracle.get)
+
+
+def test_fuzz_device_vs_python(tmp_path):
+    """Pruned beams: device == Python beam-for-beam across random logits,
+    ARPA LMs, alpha/beta and beam sizes (float32-tolerant)."""
+    from avec_tpu.decode.device_beam import (
+        DeviceNgramTables,
+        device_beam_search,
+    )
+
+    rng = np.random.RandomState(5)
+    words = ["a", "b", "c", "d"]
+    arpas = [None] + [
+        _write_random_arpa(rng, os.path.join(str(tmp_path), f"df{i}.arpa"),
+                           words[: int(rng.randint(2, 5))])
+        for i in range(3)]
+    for case in range(40):
+        t = int(rng.randint(1, 14))
+        v = int(rng.randint(2, 7))
+        beam = int(rng.choice([2, 4, 8]))
+        arpa = arpas[int(rng.randint(len(arpas)))]
+        alpha = float(rng.uniform(0.2, 1.5))
+        beta = float(rng.uniform(-0.5, 1.5))
+        logp = _rand_logp(rng, t, v, scale=float(rng.uniform(0.5, 2.5))
+                          ).astype(np.float32)
+        pkw, dkw = dict(beam_size=beam), dict(beam_size=beam)
+        if arpa is not None:
+            pkw.update(lm=ArpaLM(arpa), alpha=alpha, beta=beta,
+                       token_to_word=lambda i: chr(i + 96))
+            dkw.update(tables=DeviceNgramTables(ArpaLM(arpa), offset=96),
+                       alpha=alpha, beta=beta)
+        py = ctc_prefix_beam_search(logp.astype(np.float64), t, **pkw)
+        dv = device_beam_search(logp[None], np.array([t]), **dkw)[0]
+        dv = [(p, s) for p, s in dv if s > -1e29][: len(py)]
+        assert [p for p, _ in py] == [p for p, _ in dv], (case, t, v, beam)
+        for (_, s1), (_, s2) in zip(py, dv):
+            assert abs(s1 - s2) < 5e-3, (case, s1, s2)
