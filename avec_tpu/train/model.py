@@ -782,18 +782,12 @@ class Model:
         epoch_preds: Dict[str, List[str]] = {}
         n = 0
 
-        for step_i, batch in enumerate(dataset_eval):
-            host_targets = batch["targets"]
-            gbatch = pmesh.host_local_batch_to_global(self.mesh, batch)
-            losses, metrics, decode_pre = self._eval_step_fn(
-                params, batch_stats, gbatch, jnp.asarray(self.model_step, jnp.int32))
-            n += 1
-
+        def _flush(pending):
+            host_targets, losses, metrics, decode_pre = pending
             for k, v in losses.items():
                 epoch_losses[k] = epoch_losses.get(k, 0.0) + float(v)
             for k, v in metrics.items():
                 epoch_metrics[k] = epoch_metrics.get(k, 0.0) + float(v)
-
             # Host metrics (WER) through decoders (ref model.py:290-324).
             host_batch = self._host_metric_pass(decode_pre, host_targets,
                                                 verbose)
@@ -803,8 +797,24 @@ class Model:
                     epoch_truths.setdefault(k, []).extend(truths)
                     epoch_preds.setdefault(k, []).extend(preds)
 
+        # One-deep host/device pipeline: batch i+1's device step is
+        # DISPATCHED (async) before batch i's host decode runs, so beam/LM
+        # decoding overlaps device compute instead of serializing with it
+        # (the reference's loop is fully serial, nnet/model.py:889).
+        pending = None
+        for step_i, batch in enumerate(dataset_eval):
+            host_targets = batch["targets"]
+            gbatch = pmesh.host_local_batch_to_global(self.mesh, batch)
+            losses, metrics, decode_pre = self._eval_step_fn(
+                params, batch_stats, gbatch, jnp.asarray(self.model_step, jnp.int32))
+            n += 1
+            if pending is not None:
+                _flush(pending)
+            pending = (host_targets, losses, metrics, decode_pre)
             if eval_steps and n >= eval_steps:
                 break
+        if pending is not None:
+            _flush(pending)
 
         denom = max(n, 1)
         epoch_losses = {k: v / denom for k, v in epoch_losses.items()}

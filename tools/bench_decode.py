@@ -91,6 +91,12 @@ def main():
     ap.add_argument("--vocab", type=int, default=256)
     ap.add_argument("--threads", type=int, default=os.cpu_count() or 1)
     ap.add_argument("--skip_python", action="store_true")
+    ap.add_argument("--device", action="store_true",
+                    help="also bench the jitted device beam search "
+                         "(decode/device_beam.py) on the default JAX "
+                         "platform (set JAX_PLATFORMS / DEVICE_PLATFORM)")
+    ap.add_argument("--device_cutoff", type=int, default=0,
+                    help="cutoff_top_n for the device leg (0 = full vocab)")
     args = ap.parse_args()
 
     t = int(args.seconds * 12.5)  # AV output frame rate (12.5 Hz)
@@ -118,6 +124,31 @@ def main():
         native_batch = args.utts / (time.perf_counter() - t0)
         assert [p for p, _ in batch[0]] == [p for p, _ in ref]
 
+        device_rate = None
+        device_match = None
+        if args.device:
+            import jax
+
+            plat = os.environ.get("DEVICE_PLATFORM")
+            if plat:
+                jax.config.update("jax_platforms", plat)
+            from avec_tpu.decode.device_beam import (
+                DeviceNgramTables,
+                device_beam_search,
+            )
+
+            tables = DeviceNgramTables(ArpaLM(arpa), offset=100,
+                                       vocab_size=args.vocab)
+            cut = args.device_cutoff or None
+            kw = dict(beam_size=args.beam, tables=tables, alpha=0.6,
+                      beta=1.0, cutoff_top_n=cut)
+            dref = device_beam_search(lp[:1], seq_lens[:1], **kw)  # compile
+            device_match = ([p for p, _ in dref[0][:4]]
+                            == [p for p, _ in ref[:4]])
+            t0 = time.perf_counter()
+            device_beam_search(lp, seq_lens, **kw)
+            device_rate = args.utts / (time.perf_counter() - t0)
+
         python_rate = None
         if not args.skip_python:
             lm = ArpaLM(arpa)
@@ -139,6 +170,10 @@ def main():
                                if python_rate else None),
         "native_vs_python": (round(native_batch / python_rate, 1)
                              if python_rate else None),
+        "device_utt_per_sec": (round(device_rate, 2)
+                               if args.device else None),
+        "device_top4_matches_native": device_match if args.device else None,
+        "device_cutoff_top_n": args.device_cutoff or None,
     }))
 
 

@@ -1,0 +1,230 @@
+# Copyright 2026.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+
+"""End-to-end evaluation throughput: device forward + the FULL decode stack.
+
+VERDICT r4 weak #4: BENCH_r04's eval RTFx is forward-only; the number that
+matters for the published-WER workflow is `Model.evaluate()` throughput with
+the real decoders attached. This tool measures, on the same utterances:
+
+  A. evaluate() with CTCGreedySearchDecoder (device argmax+collapse, host
+     detokenize) — the device-bound ceiling;
+  B. evaluate() with CTCBeamSearchDecoder (C++ beam 16 + synthetic 6-gram
+     char ARPA + GPT rescoring) — the reference's published-WER stack
+     (nnet/decoders.py:122-257, eval_models.sh), host-bound on this 1-core
+     machine exactly like the reference's num_processes=8 pool would be;
+  C. (--device_beam) evaluate() with the jitted device beam search +
+     n-gram shallow fusion (decode/device_beam.py) — the TPU-native path.
+
+evaluate() runs a one-deep host/device pipeline (train/model.py), so leg B
+overlaps beam decode with the next batch's forward. The model is random-init
+with head-bias surgery confining argmax to real token ids — decode workloads
+are then realistic (non-degenerate transcripts), while WER values are
+meaningless and ignored.
+
+Usage: python tools/bench_eval.py [--utts 128] [--batch 16] [--seconds 6]
+           [--beam 16] [--device_beam] [--platform axon|cpu]
+Prints one JSON line per leg.
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class _Batches:
+    """Minimal eval iterable of {'inputs', 'targets'} batches."""
+
+    def __init__(self, utts, batch, seconds, vocab, seed=0):
+        rng = np.random.RandomState(seed)
+        n_audio = int(seconds * 16000)
+        self.batches = []
+        for _ in range(utts // batch):
+            audio = (rng.randn(batch, n_audio) * 0.1).astype(np.float32)
+            labels = rng.randint(1, vocab, size=(batch, 12)).astype(np.int32)
+            self.batches.append({
+                "inputs": [audio, np.full((batch,), n_audio, np.int32)],
+                "targets": (labels, np.full((batch,), 12, np.int32))})
+
+    def __iter__(self):
+        return iter(self.batches)
+
+    def __len__(self):
+        return len(self.batches)
+
+
+def _diversify_head(params, vocab):
+    """Head-bias surgery: random-init conformers argmax blank everywhere;
+    spread the argmax over real token ids so decoders do real work."""
+    import jax
+    import jax.numpy as jnp
+
+    def fix(path, leaf):
+        keys = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+        if len(keys) >= 2 and keys[-2] == "head" and keys[-1] == "bias":
+            noise = jax.random.normal(jax.random.PRNGKey(0), leaf.shape,
+                                      jnp.float32) * 3.0
+            # Blank kept competitive so transcripts are speech-like
+            # (token runs separated by blanks), not wall-to-wall tokens.
+            leaf = (noise.at[0].set(2.0)).astype(leaf.dtype)
+        return leaf
+    return jax.tree_util.tree_map_with_path(fix, params)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--utts", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--seconds", type=float, default=6.0)
+    ap.add_argument("--beam", type=int, default=16)
+    ap.add_argument("--vocab", type=int, default=256)
+    ap.add_argument("--device_beam", action="store_true")
+    ap.add_argument("--skip_gpt", action="store_true")
+    ap.add_argument("--platform", default=os.environ.get("EVAL_PLATFORM"))
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/avec_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from avec_tpu.data.synthetic import tone_tokenizer
+    from avec_tpu.decode.beam import CTCBeamSearchDecoder
+    from avec_tpu.decode.greedy import CTCGreedySearchDecoder
+    from avec_tpu.models.zoo import GPT, AudioEfficientConformerInterCTC
+    from avec_tpu.train.losses import CTCLoss
+    from avec_tpu.train.metrics import WordErrorRate
+    from tools.bench_decode import synthetic_char_arpa
+
+    td = tempfile.mkdtemp(prefix="bench_eval_")
+    tok_path = os.path.join(td, "tokenizer.json")
+    tone_tokenizer(args.vocab).save(tok_path)
+    arpa = os.path.join(td, "6gram.arpa")
+    synthetic_char_arpa(arpa, args.vocab)
+
+    data = _Batches(args.utts, args.batch, args.seconds, args.vocab)
+    results = []
+
+    def build_model(decoder):
+        m = AudioEfficientConformerInterCTC(vocab_size=args.vocab,
+                                            interctc_blocks=[])
+        m.compile(losses=CTCLoss(zero_infinity=True, assert_shorter=False),
+                  loss_weights=None,
+                  metrics={"outputs": WordErrorRate()},
+                  decoders={"outputs": decoder})
+        batch = data.batches[0]
+        m.build(batch["inputs"], precision="bfloat16")
+        m.params = _diversify_head(m.params, args.vocab)
+        return m
+
+    def run(name, model, extra=None):
+        # Warmup pass (compiles eval step + any decoder jits).
+        model.evaluate(data, eval_steps=1)
+        t0 = time.perf_counter()
+        losses, metrics = model.evaluate(data)
+        dt = time.perf_counter() - t0
+        row = {"metric": "evaluate_utt_per_sec", "leg": name,
+               "utts": args.utts, "batch": args.batch,
+               "seconds": args.seconds,
+               "utt_per_sec": round(args.utts / dt, 2),
+               "rtfx": round(args.utts * args.seconds / dt, 1),
+               "wall_sec": round(dt, 2)}
+        row.update(extra or {})
+        print(json.dumps(row), flush=True)
+        results.append(row)
+
+    # ---- leg A: greedy (device collapse, host detokenize only).
+    greedy = CTCGreedySearchDecoder(tok_path)
+    run("greedy", build_model(greedy))
+
+    # ---- leg B: C++ beam + 6-gram (+ GPT rescoring).
+    rescorer = None
+    if not args.skip_gpt:
+        gpt = GPT(vocab_size=args.vocab, model="GPT-Small",
+                  max_pos_encoding=256)
+        gpt.compile()
+        gpt.build([np.zeros((args.batch * args.beam, 32), np.int32)],
+                  precision="bfloat16")
+        fwd = jax.jit(lambda p, ids: gpt.apply_net(
+            p, gpt.batch_stats, [ids], False, None)[0])
+
+        def rescorer_fn(padded_ids):
+            b, t = padded_ids.shape
+            t_pad = -(-t // 32) * 32
+            full = np.zeros((b, t_pad), np.int32)
+            full[:, :t] = padded_ids
+            out = fwd(gpt.params, full)
+            logits = out["output"] if isinstance(out, dict) else out
+            return np.asarray(logits, np.float32)[:, :t]
+        rescorer = rescorer_fn
+
+    beam_dec = CTCBeamSearchDecoder(
+        tokenizer_path=tok_path, beam_size=args.beam, ngram_path=arpa,
+        ngram_alpha=0.6, ngram_beta=1.0, ngram_offset=100,
+        neural_rescorer=rescorer, neural_tokenizer_path=tok_path,
+        neural_alpha=0.3, neural_beta=0.3, neural_sos_token=0,
+        neural_eos_token=0)
+    run("beam16+6gram" + ("" if args.skip_gpt else "+gpt"),
+        build_model(beam_dec),
+        {"native_cxx": beam_dec._native is not None})
+
+    # ---- leg C: device beam + n-gram shallow fusion.
+    if args.device_beam:
+        from avec_tpu.decode.device_beam import (
+            DeviceNgramTables,
+            device_beam_search,
+        )
+        from avec_tpu.decode.ngram import ArpaLM
+
+        tables = DeviceNgramTables(ArpaLM(arpa), offset=100)
+
+        class DeviceBeamDecoder:
+            """Greedy-decoder-shaped wrapper: device_fn passes logits
+            through; __call__ runs the jitted beam search."""
+
+            def __init__(self, tokenizer_path):
+                from avec_tpu.utils.tokenizer import load_tokenizer
+
+                self.tokenizer = load_tokenizer(tokenizer_path)
+
+            def device_fn(self, outputs):
+                return outputs
+
+            def __call__(self, outputs, from_logits=True):
+                if not from_logits:
+                    labels, lens = outputs
+                    labels, lens = np.asarray(labels), np.asarray(lens)
+                    return self.tokenizer.decode(
+                        [labels[b, : lens[b]].tolist()
+                         for b in range(len(labels))])
+                logits, lengths = np.asarray(outputs[0]), np.asarray(outputs[1])
+                logp = logits - _lse(logits)
+                beams = device_beam_search(
+                    logp, lengths.astype(np.int32), beam_size=args.beam,
+                    tables=tables, alpha=0.6, beta=1.0)
+                return self.tokenizer.decode(
+                    [list(bs[0][0]) for bs in beams])
+
+        def _lse(x):
+            m = x.max(-1, keepdims=True)
+            return m + np.log(np.exp(x - m).sum(-1, keepdims=True))
+
+        run("device_beam16+6gram", build_model(DeviceBeamDecoder(tok_path)))
+
+
+if __name__ == "__main__":
+    main()

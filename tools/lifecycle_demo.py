@@ -79,15 +79,46 @@ def main():
                     help="delete callbacks/Synthetic before starting")
     ap.add_argument("--av", action="store_true",
                     help="run the audio-visual chain (AV-Tone.py)")
+    ap.add_argument("--causal", action="store_true",
+                    help="run the causal-streaming chain (AO-Tone-Causal.py:"
+                         " train -> eval -> streaming==offline check on the"
+                         " trained weights)")
     args = ap.parse_args()
 
     if args.fresh:
         shutil.rmtree(os.path.join(REPO, "callbacks/Synthetic"),
                       ignore_errors=True)
 
-    name = "AV-Tone" if args.av else "AO-Tone"
+    name = ("AO-Tone-Causal" if args.causal
+            else "AV-Tone" if args.av else "AO-Tone")
     cfg = f"configs/Synthetic/{name}.py"
     spe = max(args.steps // 2, 1)
+
+    if args.causal:
+        # Causal chain: init eval -> train -> eval -> streaming==offline on
+        # the TRAINED weights (greedy stack; commits are final by causality).
+        out = run_main("-c", cfg, "-m", "evaluation")
+        wer_init = last_wer(out)
+        print(f"[lifecycle] causal init WER {wer_init:.2f}%", flush=True)
+        run_main("-c", cfg, "-m", "training",
+                 "--steps_per_epoch", str(spe), "--epochs", "2",
+                 "--step_log_period", "50")
+        out = run_main("-c", cfg, "-m", "evaluation", "--load_last")
+        wer_final = last_wer(out)
+        print(f"[lifecycle] causal WER init {wer_init:.2f}% -> final "
+              f"{wer_final:.2f}%", flush=True)
+        assert wer_final < wer_init, (wer_final, wer_init)
+        r = subprocess.run(
+            [sys.executable, "tools/causal_streaming_check.py",
+             "--config", cfg], cwd=REPO, env=ENV, capture_output=True,
+            text=True, timeout=7200)
+        print(r.stdout, flush=True)
+        if r.returncode != 0:
+            print(r.stderr[-4000:])
+            raise SystemExit("causal streaming check failed")
+        print("[lifecycle] PASS: causal train -> eval -> exact streaming "
+              "on trained weights", flush=True)
+        return
 
     # 1. Random-init evaluation: the baseline WER (beam + ARPA, no LM ckpt
     #    yet so no rescorer — the comparison target is the final number).
