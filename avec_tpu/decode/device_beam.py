@@ -63,13 +63,22 @@ MAX_ORDER = 2 * _SLOTS  # 6 — the AVEC stack's own maximum (6-gram ARPA)
 
 # --------------------------------------------------------------- LM tables
 class DeviceNgramTables:
-    """Sorted packed-key arrays for one ARPA LM, keyed by TOKEN ID.
+    """Open-addressing hash table over ALL n-grams of one ARPA LM, keyed by
+    packed TOKEN-ID n-grams.
 
     Built host-side from `ngram.ArpaLM` (words are chr(id + offset),
-    decoders.py:187). Per order n: keys for P(w|h) lookups over the
-    (n)-grams, and keys/weights for the backoff(h) lookups over the same
-    entries (missing backoff scores 0, matching ArpaLM).
+    decoders.py:187). One table holds every order's entries (the order is
+    encoded in the key's high bits); each entry carries BOTH its log10 prob
+    and its backoff weight (0 when absent — matching ArpaLM's
+    `backoffs.get(h, 0.0)`).
+
+    Device lookups are O(probe_depth) gathers — the table is built with a
+    BOUNDED max probe depth (rehash/grow until <= 8), so a query is ~6 ops
+    instead of an unrolled log2(M)-step binary search. Op count is what
+    latency-binds a `lax.scan` body on TPU, not FLOPs.
     """
+
+    PROBE = 8
 
     def __init__(self, lm, offset: int = 100, vocab_size: int = 0):
         assert lm.order <= MAX_ORDER, f"order {lm.order} > {MAX_ORDER}"
@@ -79,60 +88,104 @@ class DeviceNgramTables:
             i = ord(word) - offset if len(word) == 1 else -1
             return i if 0 <= i < (1 << _BITS) - 1 else None
 
-        probs: List[dict] = [dict() for _ in range(self.order + 1)]
-        backs: List[dict] = [dict() for _ in range(self.order + 1)]
+        entries = {}  # (hi, lo) -> [prob, backoff]
         for ngram, p in lm.probs.items():
             ids = [tok(w) for w in ngram]
             if any(i is None for i in ids):
                 continue  # <s>/</s>/OOV never appear in CTC histories
-            probs[len(ids)][tuple(ids)] = p
+            entries[_pack_host(tuple(ids))] = [p, 0.0]
         for ngram, b in lm.backoffs.items():
             ids = [tok(w) for w in ngram]
             if any(i is None for i in ids):
                 continue
-            backs[len(ids)][tuple(ids)] = b
+            key = _pack_host(tuple(ids))
+            if key in entries:
+                entries[key][1] = b
+            else:
+                # Backoff-only entry (no prob): prob = miss sentinel.
+                entries[key] = [None, b]
+        self._build_hash(entries)
 
-        def pack(ids: Tuple[int, ...]) -> Tuple[int, int]:
-            """Right-aligned 9-bit slots; slots 0..2 -> lo, 3..5 -> hi."""
-            lo = hi = 0
-            for j, t in enumerate(reversed(ids)):  # j=0 is the LAST token
-                v = t + 1
-                if j < _SLOTS:
-                    lo |= v << (_BITS * j)
+    def _build_hash(self, entries):
+        n = max(len(entries), 1)
+        size = 1
+        while size < 4 * n:
+            size *= 2
+        keys = np.array(sorted(entries), dtype=np.int64)  # (M, 2) hi, lo
+        for attempt in range(8):
+            a = (0x9E3779B1 + 2 * attempt * 0x85EBCA77) & 0xFFFFFFFF
+            b = (0xC2B2AE35 + 2 * attempt * 0x27D4EB2F) & 0xFFFFFFFF
+            khi = np.full(size, -1, np.int32)
+            klo = np.full(size, -1, np.int32)
+            kp = np.full(size, LOG10_NEG_INF, np.float32)
+            kb = np.zeros(size, np.float32)
+            kpm = np.zeros(size, bool)  # prob present
+            ok = True
+            for (hi, lo) in keys:
+                e = entries[(int(hi), int(lo))]
+                # 32-bit wrapping hash in plain Python ints (numpy raises
+                # on uint32 overflow instead of wrapping).
+                h = ((int(lo) * a + int(hi) * b) & 0xFFFFFFFF) & (size - 1)
+                for d in range(self.PROBE):
+                    i = (h + d) & (size - 1)
+                    if khi[i] == -1 and klo[i] == -1:
+                        khi[i], klo[i] = hi, lo
+                        if e[0] is not None:
+                            kp[i], kpm[i] = e[0], True
+                        kb[i] = e[1]
+                        break
                 else:
-                    hi |= v << (_BITS * (j - _SLOTS))
-            return hi, lo
-
-        def table(d):
-            items = sorted((pack(k), v) for k, v in d.items())
-            if not items:
-                return (np.zeros(1, np.int32), np.full(1, -1, np.int32),
-                        np.zeros(1, np.float32))
-            hi = np.array([k[0] for k, _ in items], np.int32)
-            lo = np.array([k[1] for k, _ in items], np.int32)
-            w = np.array([v for _, v in items], np.float32)
-            return hi, lo, w
-
-        # orders 1..N prob tables; orders 1..N-1 backoff tables.
-        self.prob_tables = [table(probs[n]) for n in range(1, self.order + 1)]
-        self.back_tables = [table(backs[n]) for n in range(1, self.order)]
+                    ok = False
+                    break
+            if ok:
+                break
+            size *= 2  # grow and retry with fresh multipliers
+        assert ok, "hash build failed"
+        self.size, self.mult_a, self.mult_b = size, a, b
+        self.khi, self.klo = khi, klo
+        self.kprob, self.kback, self.kprob_mask = kp, kb, kpm
 
 
-def _lex_search(qhi, qlo, khi, klo, kw):
-    """found, weight for each (qhi, qlo) in sorted (khi, klo). Unrolled
-    binary search — every step is an elementwise gather, jit-friendly."""
-    m = khi.shape[0]
-    lo = jnp.zeros(qhi.shape, jnp.int32)
-    hi = jnp.full(qhi.shape, m, jnp.int32)
-    for _ in range(int(math.ceil(math.log2(max(m, 2)))) + 1):
-        mid = (lo + hi) // 2
-        mh, ml = khi[mid], klo[mid]
-        less = (mh < qhi) | ((mh == qhi) & (ml < qlo))
-        lo = jnp.where(less, mid + 1, lo)
-        hi = jnp.where(less, hi, mid)
-    idx = jnp.minimum(lo, m - 1)
-    found = (lo < m) & (khi[idx] == qhi) & (klo[idx] == qlo)
-    return found, jnp.where(found, kw[idx], 0.0)
+def _pack_host(ids: Tuple[int, ...]) -> Tuple[int, int]:
+    """Right-aligned 9-bit slots; slots 0..2 -> lo, 3..5 -> hi; the order
+    (token count) tags bits 27.. of hi so same-suffix n-grams of different
+    orders cannot collide."""
+    lo = hi = 0
+    for j, t in enumerate(reversed(ids)):  # j=0 is the LAST token
+        v = t + 1
+        if j < _SLOTS:
+            lo |= v << (_BITS * j)
+        else:
+            hi |= v << (_BITS * (j - _SLOTS))
+    return hi | (len(ids) << (_BITS * _SLOTS)), lo
+
+
+def _order_tag(hi, n):
+    return hi | (n << (_BITS * _SLOTS))
+
+
+def _hash_lookup(t: DeviceNgramTables, qhi, qlo):
+    """(prob_found, prob, backoff) for packed queries, O(PROBE) gathers."""
+    khi = jnp.asarray(t.khi)
+    klo = jnp.asarray(t.klo)
+    kp = jnp.asarray(t.kprob)
+    kb = jnp.asarray(t.kback)
+    kpm = jnp.asarray(t.kprob_mask)
+    h = ((qlo.astype(jnp.uint32) * jnp.uint32(t.mult_a)
+          + qhi.astype(jnp.uint32) * jnp.uint32(t.mult_b))
+         & jnp.uint32(t.size - 1)).astype(jnp.int32)
+    found = jnp.zeros(qhi.shape, bool)
+    pfound = jnp.zeros(qhi.shape, bool)
+    prob = jnp.full(qhi.shape, LOG10_NEG_INF, jnp.float32)
+    back = jnp.zeros(qhi.shape, jnp.float32)
+    for d in range(t.PROBE):
+        idx = (h + d) & (t.size - 1)
+        hit = (khi[idx] == qhi) & (klo[idx] == qlo) & ~found
+        prob = jnp.where(hit, kp[idx], prob)
+        back = jnp.where(hit, kb[idx], back)
+        pfound = pfound | (hit & kpm[idx])
+        found = found | hit
+    return pfound, prob, back
 
 
 def _shift_in(hi, lo, tok):
@@ -159,8 +212,11 @@ def _lm_scores_all(tables: DeviceNgramTables, ctx_hi, ctx_lo, ctx_len, v):
     """alpha-less log10 P(w | ctx) for every w in [0, v): the exact
     ArpaLM.log10_cond walk, vectorized over (K, V).
 
-    ctx_hi/lo: (K,) packed FULL history (last 2*_SLOTS tokens); ctx_len:
-    (K,) true history length. Returns (K, V) float32 log10 probs."""
+    ctx_hi/lo: (K,) packed FULL history (last 2*_SLOTS tokens, untagged);
+    ctx_len: (K,) true history length. Returns (K, V) float32 log10 probs.
+    Per order: ONE (K, V) hash lookup for the n-gram probs + ONE (K,)
+    lookup for the history backoff — O(PROBE) gathers each, so the whole
+    walk stays ~100 ops (op count is what latency-binds scan bodies)."""
     k = ctx_hi.shape[0]
     toks = jnp.arange(v, dtype=jnp.int32)
     # Packed (history + w) for each (k, w): shift w into slot 0.
@@ -172,9 +228,7 @@ def _lm_scores_all(tables: DeviceNgramTables, ctx_hi, ctx_lo, ctx_len, v):
     for n in range(tables.order, 0, -1):
         # Order n uses the last n-1 history tokens + w.
         nhi, nlo = _truncate(qhi, qlo, n)
-        khi, klo, kw = tables.prob_tables[n - 1]
-        hit, p = _lex_search(nhi, nlo, jnp.asarray(khi), jnp.asarray(klo),
-                             jnp.asarray(kw))
+        hit, p, _ = _hash_lookup(tables, _order_tag(nhi, n), nlo)
         # Only orders with enough history participate (n-1 <= ctx_len).
         hit = hit & (ctx_len[:, None] >= n - 1)
         take = hit & ~found
@@ -182,12 +236,10 @@ def _lm_scores_all(tables: DeviceNgramTables, ctx_hi, ctx_lo, ctx_len, v):
         found = found | hit
         if n > 1:
             # Backoff of the history (n-1)-gram, applied when not found.
-            bhi, blo = _truncate(ctx_hi[:, None], ctx_lo[:, None], n - 1)
-            tb = tables.back_tables[n - 2]
-            bhit, b = _lex_search(bhi, blo, jnp.asarray(tb[0]),
-                                  jnp.asarray(tb[1]), jnp.asarray(tb[2]))
-            b = jnp.where(bhit & (ctx_len[:, None] >= n - 1), b, 0.0)
-            acc = jnp.where(found, acc, acc + b)
+            bhi, blo = _truncate(ctx_hi, ctx_lo, n - 1)
+            bfound, _, b = _hash_lookup(tables, _order_tag(bhi, n - 1), blo)
+            b = jnp.where(bfound & (ctx_len >= n - 1), b, 0.0)
+            acc = jnp.where(found, acc, acc + b[:, None])
     # Unigram miss: acc + LOG10_NEG_INF (matches the host walk).
     out = jnp.where(found, out, acc + LOG10_NEG_INF)
     return out

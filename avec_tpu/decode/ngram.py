@@ -35,12 +35,24 @@ class ArpaLM:
         self.order = 0
         self._parse(path)
 
+    # ASCII-only whitespace: ARPA words are BYTE tokens to KenLM, and the
+    # CTC char remapping chr(id + offset) (decoders.py:187) produces words
+    # that are UNICODE whitespace (U+00A0 NBSP = id 60 at offset 100,
+    # U+0085 NEL = id 33) but not ASCII whitespace. Python's str.strip()/
+    # str.split() treat those as separators and silently mis-parse such
+    # entries (dropped/merged words) — diverging from KenLM/the C++ decoder
+    # byte-wise parse. Found by the device-beam bench at vocab 256.
+    _WS = " \t\r\n"
+
     def _parse(self, path: str):
+        import re
+
         opener = gzip.open if path.endswith(".gz") else open
+        ws_split = re.compile(r"[ \t]+").split
         with opener(path, "rt", encoding="utf-8", errors="replace") as f:
             section = 0
             for line in f:
-                line = line.strip()
+                line = line.strip(self._WS)
                 if not line:
                     continue
                 if line.startswith("\\") and "grams:" in line:
@@ -54,7 +66,7 @@ class ArpaLM:
                     continue
                 parts = line.split("\t")
                 if len(parts) < 2:
-                    parts = line.split()
+                    parts = [p for p in ws_split(line) if p]
                     if len(parts) < section + 1:
                         continue
                     logp = float(parts[0])
@@ -63,7 +75,7 @@ class ArpaLM:
                                if len(parts) > 1 + section else None)
                 else:
                     logp = float(parts[0])
-                    ngram = tuple(parts[1].split())
+                    ngram = tuple(p for p in parts[1].split(" ") if p)
                     backoff = float(parts[2]) if len(parts) > 2 else None
                 self.probs[ngram] = logp
                 if backoff is not None:

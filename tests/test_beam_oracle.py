@@ -379,3 +379,40 @@ def test_fuzz_device_vs_python(tmp_path):
         assert [p for p, _ in py] == [p for p, _ in dv], (case, t, v, beam)
         for (_, s1), (_, s2) in zip(py, dv):
             assert abs(s1 - s2) < 5e-3, (case, s1, s2)
+
+
+@pytest.mark.skipif(not _has_gxx(), reason="no g++")
+def test_unicode_whitespace_vocab_parity(tmp_path):
+    """The chr(id + offset) remapping produces words that are UNICODE
+    whitespace (U+00A0 = id 60 at offset 100, U+0085 = id 33) but not ASCII
+    whitespace. KenLM/the C++ decoder parse ARPA byte-wise; ArpaLM must not
+    let str.strip()/str.split() treat those words as separators (it did —
+    found by the device-beam bench at vocab 256)."""
+    from avec_tpu.decode.native import NativeBeamDecoder
+
+    rng = np.random.RandomState(7)
+    # Words straddling the unicode-whitespace codepoints at offset 100.
+    ids = [28, 33, 60, 100, 131]  # chr: 0x80, 0x85(NEL), 0xA0(NBSP), ...
+    words = [chr(i + 100) for i in ids]
+    arpa = _write_random_arpa(rng, os.path.join(str(tmp_path), "uws.arpa"),
+                              words)
+    lm = ArpaLM(arpa)
+    # The whitespace words parsed as real vocabulary entries:
+    for w in words:
+        assert (w,) in lm.probs, hex(ord(w))
+    v = 256
+    for trial in range(4):
+        t = int(rng.randint(4, 20))
+        logp = _rand_logp(rng, t, v, scale=2.5).astype(np.float32)
+        # Peak the whitespace-word token ids so they actually get explored.
+        logp[np.arange(t), np.array(ids)[rng.randint(0, len(ids), t)]] += 4.0
+        logp -= _lse(logp)
+        py = ctc_prefix_beam_search(
+            logp.astype(np.float64), t, 8, blank=0, lm=lm, alpha=0.8,
+            beta=0.5, token_to_word=lambda c: chr(c + 100))
+        nat = NativeBeamDecoder(blank=0, beam_size=8, alpha=0.8, beta=0.5,
+                                ngram_path=arpa,
+                                ngram_offset=100).decode(logp, t)
+        assert [p for p, _ in py] == [p for p, _ in nat], trial
+        for (_, s1), (_, s2) in zip(py, nat):
+            assert abs(s1 - s2) < 2e-3
