@@ -146,6 +146,17 @@ class CausalStreamingTranscriber:
         dtype = (jnp.bfloat16 if self.precision == "bfloat16"
                  else jnp.float32)
         self._state = self._init_state(dtype)
+        # One jitted step per (model, chunk, precision): new transcriber
+        # instances (one per serving session / eval utterance) reuse it
+        # instead of re-tracing — tracing the whole encoder per session
+        # costs seconds even with a warm persistent compile cache.
+        cache = getattr(model, "_causal_stream_steps", None)
+        if cache is None:
+            cache = model._causal_stream_steps = {}
+        ckey = (F, self.precision, self.left_context)
+        if ckey in cache:
+            self._step = cache[ckey]
+            return
         plan = self._plan()
         ap = AudioPreprocessing(sample_rate=16000, n_fft=N_FFT,
                                 win_length_ms=25, hop_length_ms=10,
@@ -180,7 +191,7 @@ class CausalStreamingTranscriber:
             return preds, logits[0], {"stem": new_state["stem"],
                                       "blocks": blocks}
 
-        self._step = jax.jit(step)
+        self._step = cache[ckey] = jax.jit(step)
 
     # ------------------------------------------------------------ chunking
     def _window(self, f0: int, end_reflect: bool) -> np.ndarray:

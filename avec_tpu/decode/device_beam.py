@@ -63,22 +63,24 @@ MAX_ORDER = 2 * _SLOTS  # 6 — the AVEC stack's own maximum (6-gram ARPA)
 
 # --------------------------------------------------------------- LM tables
 class DeviceNgramTables:
-    """Open-addressing hash table over ALL n-grams of one ARPA LM, keyed by
-    packed TOKEN-ID n-grams.
+    """Per-order sorted n-gram arrays of one ARPA LM, laid out for TPU.
 
     Built host-side from `ngram.ArpaLM` (words are chr(id + offset),
-    decoders.py:187). One table holds every order's entries (the order is
-    encoded in the key's high bits); each entry carries BOTH its log10 prob
-    and its backoff weight (0 when absent — matching ArpaLM's
-    `backoffs.get(h, 0.0)`).
+    decoders.py:187). TPUs have no hardware gather: both an unrolled binary
+    search per (beam, word) query and an open-addressing hash table measure
+    ~2 utt/s on v5e — XLA serializes large-table vector gathers to ~2M
+    elem/s. This layout trades gathers for what the hardware does well:
 
-    Device lookups are O(probe_depth) gathers — the table is built with a
-    BOUNDED max probe depth (rehash/grow until <= 8), so a query is ~6 ops
-    instead of an unrolled log2(M)-step binary search. Op count is what
-    latency-binds a `lax.scan` body on TPU, not FLOPs.
+      * entries of order n are sorted by packed key, CONTEXT IN THE HIGH
+        BITS — so all continuations of one context are CONTIGUOUS;
+      * per (beam, order) the device does ONE small binary search over the
+        per-context START array ((K,) queries, tiny gathers) and ONE
+        dynamic-slice window of width `win` (contiguous — fast), then
+        scatters window probs to the (V,) vocabulary via a compare matrix
+        (VPU elementwise, no gather);
+      * history backoffs are point queries resolved the same way (the
+        history (n-1)-gram is one context's window, word = its last token).
     """
-
-    PROBE = 8
 
     def __init__(self, lm, offset: int = 100, vocab_size: int = 0):
         assert lm.order <= MAX_ORDER, f"order {lm.order} > {MAX_ORDER}"
@@ -88,68 +90,69 @@ class DeviceNgramTables:
             i = ord(word) - offset if len(word) == 1 else -1
             return i if 0 <= i < (1 << _BITS) - 1 else None
 
-        entries = {}  # (hi, lo) -> [prob, backoff]
+        probs: List[dict] = [dict() for _ in range(self.order + 1)]
+        backs: List[dict] = [dict() for _ in range(self.order + 1)]
         for ngram, p in lm.probs.items():
             ids = [tok(w) for w in ngram]
             if any(i is None for i in ids):
                 continue  # <s>/</s>/OOV never appear in CTC histories
-            entries[_pack_host(tuple(ids))] = [p, 0.0]
+            probs[len(ids)][tuple(ids)] = p
         for ngram, b in lm.backoffs.items():
             ids = [tok(w) for w in ngram]
             if any(i is None for i in ids):
                 continue
-            key = _pack_host(tuple(ids))
-            if key in entries:
-                entries[key][1] = b
-            else:
-                # Backoff-only entry (no prob): prob = miss sentinel.
-                entries[key] = [None, b]
-        self._build_hash(entries)
+            backs[len(ids)][tuple(ids)] = b
 
-    def _build_hash(self, entries):
-        n = max(len(entries), 1)
-        size = 1
-        while size < 4 * n:
-            size *= 2
-        keys = np.array(sorted(entries), dtype=np.int64)  # (M, 2) hi, lo
-        for attempt in range(8):
-            a = (0x9E3779B1 + 2 * attempt * 0x85EBCA77) & 0xFFFFFFFF
-            b = (0xC2B2AE35 + 2 * attempt * 0x27D4EB2F) & 0xFFFFFFFF
-            khi = np.full(size, -1, np.int32)
-            klo = np.full(size, -1, np.int32)
-            kp = np.full(size, LOG10_NEG_INF, np.float32)
-            kb = np.zeros(size, np.float32)
-            kpm = np.zeros(size, bool)  # prob present
-            ok = True
-            for (hi, lo) in keys:
-                e = entries[(int(hi), int(lo))]
-                # 32-bit wrapping hash in plain Python ints (numpy raises
-                # on uint32 overflow instead of wrapping).
-                h = ((int(lo) * a + int(hi) * b) & 0xFFFFFFFF) & (size - 1)
-                for d in range(self.PROBE):
-                    i = (h + d) & (size - 1)
-                    if khi[i] == -1 and klo[i] == -1:
-                        khi[i], klo[i] = hi, lo
-                        if e[0] is not None:
-                            kp[i], kpm[i] = e[0], True
-                        kb[i] = e[1]
-                        break
-                else:
-                    ok = False
-                    break
-            if ok:
-                break
-            size *= 2  # grow and retry with fresh multipliers
-        assert ok, "hash build failed"
-        self.size, self.mult_a, self.mult_b = size, a, b
-        self.khi, self.klo = khi, klo
-        self.kprob, self.kback, self.kprob_mask = kp, kb, kpm
+        # Per order n: group entries by context (first n-1 tokens).
+        self.tables = []
+        for n in range(1, self.order + 1):
+            ctxs: dict = {}
+            for ids in set(probs[n]) | set(backs[n]):
+                ctxs.setdefault(ids[:-1], []).append(ids[-1])
+            ctx_keys = sorted(ctxs)
+            win = max((len(v) for v in ctxs.values()), default=1)
+            m = len(ctx_keys)
+            chi = np.zeros(max(m, 1), np.int32)
+            clo = np.zeros(max(m, 1), np.int32)
+            words = np.full((max(m, 1), win), -1, np.int32)
+            p_arr = np.full((max(m, 1), win), LOG10_NEG_INF, np.float32)
+            pm_arr = np.zeros((max(m, 1), win), bool)
+            b_arr = np.zeros((max(m, 1), win), np.float32)
+            for i, c in enumerate(ctx_keys):
+                chi[i], clo[i] = _pack_host(c)
+                for j, w in enumerate(sorted(ctxs[c])):
+                    words[i, j] = w
+                    g = c + (w,)
+                    if g in probs[n]:
+                        p_arr[i, j] = probs[n][g]
+                        pm_arr[i, j] = True
+                    b_arr[i, j] = backs[n].get(g, 0.0)
+            # Rows flattened so a context's window is one dynamic slice.
+            self.tables.append(dict(
+                n=n, n_ctx=m, win=win,
+                chi=chi, clo=clo,
+                words=words.reshape(-1), prob=p_arr.reshape(-1),
+                prob_mask=pm_arr.reshape(-1), back=b_arr.reshape(-1)))
+        self._dev = None
+
+    def device_arrays(self):
+        """Device-resident pytree of the tables — passed as a jit ARGUMENT
+        (closing over them would embed the whole LM as HLO constants)."""
+        if self._dev is None:
+            self._dev = tuple(
+                {f: jnp.asarray(t[f]) for f in
+                 ("chi", "clo", "words", "prob", "prob_mask", "back")}
+                for t in self.tables)
+        return self._dev
+
+    @property
+    def meta(self):
+        """Static structure: (order, per-order window widths)."""
+        return (self.order, tuple(t["win"] for t in self.tables))
 
 
 def _pack_host(ids: Tuple[int, ...]) -> Tuple[int, int]:
-    """Right-aligned 9-bit slots; slots 0..2 -> lo, 3..5 -> hi; the order
-    (token count) tags bits 27.. of hi so same-suffix n-grams of different
-    orders cannot collide."""
+    """Right-aligned 9-bit slots; slots 0..2 -> lo, 3..5 -> hi."""
     lo = hi = 0
     for j, t in enumerate(reversed(ids)):  # j=0 is the LAST token
         v = t + 1
@@ -157,35 +160,24 @@ def _pack_host(ids: Tuple[int, ...]) -> Tuple[int, int]:
             lo |= v << (_BITS * j)
         else:
             hi |= v << (_BITS * (j - _SLOTS))
-    return hi | (len(ids) << (_BITS * _SLOTS)), lo
+    return hi, lo
 
 
-def _order_tag(hi, n):
-    return hi | (n << (_BITS * _SLOTS))
-
-
-def _hash_lookup(t: DeviceNgramTables, qhi, qlo):
-    """(prob_found, prob, backoff) for packed queries, O(PROBE) gathers."""
-    khi = jnp.asarray(t.khi)
-    klo = jnp.asarray(t.klo)
-    kp = jnp.asarray(t.kprob)
-    kb = jnp.asarray(t.kback)
-    kpm = jnp.asarray(t.kprob_mask)
-    h = ((qlo.astype(jnp.uint32) * jnp.uint32(t.mult_a)
-          + qhi.astype(jnp.uint32) * jnp.uint32(t.mult_b))
-         & jnp.uint32(t.size - 1)).astype(jnp.int32)
-    found = jnp.zeros(qhi.shape, bool)
-    pfound = jnp.zeros(qhi.shape, bool)
-    prob = jnp.full(qhi.shape, LOG10_NEG_INF, jnp.float32)
-    back = jnp.zeros(qhi.shape, jnp.float32)
-    for d in range(t.PROBE):
-        idx = (h + d) & (t.size - 1)
-        hit = (khi[idx] == qhi) & (klo[idx] == qlo) & ~found
-        prob = jnp.where(hit, kp[idx], prob)
-        back = jnp.where(hit, kb[idx], back)
-        pfound = pfound | (hit & kpm[idx])
-        found = found | hit
-    return pfound, prob, back
+def _ctx_search(chi, clo, qhi, qlo):
+    """Index of (qhi, qlo) in the sorted context arrays; found flag.
+    Queries are (K,) — the gathers here touch K elements per step."""
+    m = chi.shape[0]
+    lo = jnp.zeros(qhi.shape, jnp.int32)
+    hi = jnp.full(qhi.shape, m, jnp.int32)
+    for _ in range(int(math.ceil(math.log2(max(m, 2)))) + 1):
+        mid = (lo + hi) // 2
+        mh, ml = chi[mid], clo[mid]
+        less = (mh < qhi) | ((mh == qhi) & (ml < qlo))
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+    idx = jnp.minimum(lo, m - 1)
+    found = (lo < m) & (chi[idx] == qhi) & (clo[idx] == qlo)
+    return jnp.where(found, idx, 0), found
 
 
 def _shift_in(hi, lo, tok):
@@ -208,37 +200,75 @@ def _truncate(hi, lo, n):
     return jnp.zeros_like(hi), lo & ((1 << (_BITS * n)) - 1)
 
 
-def _lm_scores_all(tables: DeviceNgramTables, ctx_hi, ctx_lo, ctx_len, v):
+def _drop_last(hi, lo):
+    """Remove the LAST token (slot 0) of a packed key: shift right one
+    slot, moving hi's lowest slot into lo's highest."""
+    lo = (lo >> _BITS) | ((hi & ((1 << _BITS) - 1)) << (_BITS * (_SLOTS - 1)))
+    hi = hi >> _BITS
+    return hi, lo
+
+
+def _window_slices(arrs, win, idx):
+    """Contiguous `win`-wide windows of one order's arrays at context rows
+    `idx` (K,): returns words/probs/prob_mask/backoffs as (K, win)."""
+    words, prob, pmask, back = (arrs["words"], arrs["prob"],
+                                arrs["prob_mask"], arrs["back"])
+
+    def slice_one(s):
+        return (lax.dynamic_slice(words, (s,), (win,)),
+                lax.dynamic_slice(prob, (s,), (win,)),
+                lax.dynamic_slice(pmask, (s,), (win,)),
+                lax.dynamic_slice(back, (s,), (win,)))
+    return jax.vmap(slice_one)(idx * win)
+
+
+def _lm_scores_all(tarrays, tmeta, ctx_hi, ctx_lo, ctx_len, v):
     """alpha-less log10 P(w | ctx) for every w in [0, v): the exact
     ArpaLM.log10_cond walk, vectorized over (K, V).
 
-    ctx_hi/lo: (K,) packed FULL history (last 2*_SLOTS tokens, untagged);
-    ctx_len: (K,) true history length. Returns (K, V) float32 log10 probs.
-    Per order: ONE (K, V) hash lookup for the n-gram probs + ONE (K,)
-    lookup for the history backoff — O(PROBE) gathers each, so the whole
-    walk stays ~100 ops (op count is what latency-binds scan bodies)."""
+    ctx_hi/lo: (K,) packed FULL history (last 2*_SLOTS tokens); ctx_len:
+    (K,) true history length. Returns (K, V) float32 log10 probs.
+
+    Per order: one small binary search over contexts ((K,) queries), one
+    contiguous window slice, and a compare-matrix scatter to (V,) — no
+    large-table gathers (see DeviceNgramTables). `tarrays` is the pytree of
+    device arrays (a jit ARGUMENT — embedding a real 6-gram as trace
+    constants would explode compilation); `tmeta` the static (order, wins)."""
     k = ctx_hi.shape[0]
+    order, wins = tmeta
     toks = jnp.arange(v, dtype=jnp.int32)
-    # Packed (history + w) for each (k, w): shift w into slot 0.
-    qhi, qlo = _shift_in(ctx_hi[:, None], ctx_lo[:, None], toks[None, :])
 
     out = jnp.full((k, v), LOG10_NEG_INF, jnp.float32)
     found = jnp.zeros((k, v), bool)
     acc = jnp.zeros((k, v), jnp.float32)
-    for n in range(tables.order, 0, -1):
-        # Order n uses the last n-1 history tokens + w.
-        nhi, nlo = _truncate(qhi, qlo, n)
-        hit, p, _ = _hash_lookup(tables, _order_tag(nhi, n), nlo)
-        # Only orders with enough history participate (n-1 <= ctx_len).
-        hit = hit & (ctx_len[:, None] >= n - 1)
-        take = hit & ~found
-        out = jnp.where(take, acc + p, out)
-        found = found | hit
+    last_tok = (ctx_lo & ((1 << _BITS) - 1)) - 1      # last history token
+    par_hi, par_lo = _drop_last(ctx_hi, ctx_lo)       # history minus last
+    for n in range(order, 0, -1):
+        arrs = tarrays[n - 1]
+        # Context of the order-n query: last n-1 history tokens.
+        qhi, qlo = _truncate(ctx_hi, ctx_lo, n - 1)
+        idx, ok_ctx = _ctx_search(arrs["chi"], arrs["clo"], qhi, qlo)
+        wwin, pwin, pmwin, _ = _window_slices(arrs, wins[n - 1], idx)
+        # Scatter window probs to the vocabulary: each word appears at most
+        # once per context window, so a masked sum selects it.
+        hit = ((wwin[:, :, None] == toks[None, None, :])
+               & pmwin[:, :, None]
+               & (ok_ctx & (ctx_len >= n - 1))[:, None, None])
+        probs_v = jnp.where(hit, pwin[:, :, None], 0.0).sum(1)
+        found_v = hit.any(1)
+        out = jnp.where(found_v & ~found, acc + probs_v, out)
+        found = found | found_v
         if n > 1:
-            # Backoff of the history (n-1)-gram, applied when not found.
-            bhi, blo = _truncate(ctx_hi, ctx_lo, n - 1)
-            bfound, _, b = _hash_lookup(tables, _order_tag(bhi, n - 1), blo)
-            b = jnp.where(bfound & (ctx_len >= n - 1), b, 0.0)
+            # Backoff of the history (n-1)-gram: a point query in the
+            # order-(n-1) table — context = the history MINUS its last
+            # token (truncated to n-2), word = the history's last token.
+            barrs = tarrays[n - 2]
+            bqhi, bqlo = _truncate(par_hi, par_lo, n - 2)
+            bidx, bok = _ctx_search(barrs["chi"], barrs["clo"], bqhi, bqlo)
+            bwords, _, _, bback = _window_slices(barrs, wins[n - 2], bidx)
+            sel = (bwords == last_tok[:, None]) & bok[:, None]
+            b = jnp.where(sel, bback, 0.0).sum(1)
+            b = jnp.where(ctx_len >= n - 1, b, 0.0)
             acc = jnp.where(found, acc, acc + b[:, None])
     # Unigram miss: acc + LOG10_NEG_INF (matches the host walk).
     out = jnp.where(found, out, acc + LOG10_NEG_INF)
@@ -253,10 +283,8 @@ def _logaddexp(a, b):
     return jnp.where(mx <= NEG / 2, NEG, mx + jnp.log1p(jnp.exp(safe)))
 
 
-@partial(jax.jit, static_argnames=("beam_size", "blank", "tables",
-                                   "cutoff_top_n"))
-def _device_beam_single(logp, length, *, beam_size: int, blank: int,
-                        tables: Optional[DeviceNgramTables],
+def _device_beam_single(logp, length, tarrays, *, beam_size: int, blank: int,
+                        tmeta: Optional[tuple],
                         alpha: float, beta: float,
                         cutoff_top_n: Optional[int]):
     """One utterance: (T, V) log-probs -> (tokens (K,U), lens (K,),
@@ -305,8 +333,8 @@ def _device_beam_single(logp, length, *, beam_size: int, blank: int,
                 (last >= 0) & (lp[jnp.maximum(last, 0)] >= thresh),
                 stay_pnb, NEG)
 
-        if tables is not None:
-            lm_add = alpha_ln * _lm_scores_all(tables, chi, clo,
+        if tmeta is not None:
+            lm_add = alpha_ln * _lm_scores_all(tarrays, tmeta, chi, clo,
                                                lens, v) + beta
         else:
             lm_add = jnp.zeros((k, v), jnp.float32)
@@ -384,6 +412,18 @@ def _device_beam_single(logp, length, *, beam_size: int, blank: int,
     return tokens[order], lens[order], scores[order]
 
 
+@partial(jax.jit, static_argnames=("beam_size", "blank", "tmeta",
+                                   "cutoff_top_n"))
+def _device_beam_batch(logp, lengths, tarrays, alpha, beta, *,
+                       beam_size, blank, tmeta, cutoff_top_n):
+    """Stable jitted batch entry: a fresh vmap(lambda) per call would break
+    the jit dispatch fast path (re-lower + executable reload every call —
+    measured ~8 s of host overhead per batch over the TPU tunnel)."""
+    return jax.vmap(lambda x, n: _device_beam_single(
+        x, n, tarrays, beam_size=beam_size, blank=blank, tmeta=tmeta,
+        alpha=alpha, beta=beta, cutoff_top_n=cutoff_top_n))(logp, lengths)
+
+
 def device_beam_search(logp: np.ndarray, lengths: np.ndarray,
                        beam_size: int = 16, blank: int = 0,
                        tables: Optional[DeviceNgramTables] = None,
@@ -394,10 +434,12 @@ def device_beam_search(logp: np.ndarray, lengths: np.ndarray,
     best-first list of (prefix tuple, combined log score)."""
     logp = jnp.asarray(logp, jnp.float32)
     lengths = jnp.asarray(lengths, jnp.int32)
-    fn = jax.vmap(lambda x, n: _device_beam_single(
-        x, n, beam_size=beam_size, blank=blank, tables=tables,
-        alpha=alpha, beta=beta, cutoff_top_n=cutoff_top_n))
-    tokens, lens, scores = fn(logp, lengths)
+    tarrays = tables.device_arrays() if tables is not None else ()
+    tmeta = tables.meta if tables is not None else None
+    tokens, lens, scores = _device_beam_batch(
+        logp, lengths, tarrays, float(alpha), float(beta),
+        beam_size=beam_size, blank=blank, tmeta=tmeta,
+        cutoff_top_n=cutoff_top_n)
     tokens, lens, scores = (np.asarray(tokens), np.asarray(lens),
                             np.asarray(scores, np.float64))
     out = []
