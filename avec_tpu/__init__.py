@@ -73,6 +73,9 @@ from avec_tpu.models.zoo import (  # noqa: F401
 
 # --- decoding -----------------------------------------------------------
 from avec_tpu.decode.beam import CTCBeamSearchDecoder  # noqa: F401
+from avec_tpu.decode.device_beam import (  # noqa: F401
+    CTCDeviceBeamSearchDecoder,
+)
 from avec_tpu.decode.greedy import (  # noqa: F401
     ArgMaxDecoder,
     CTCGreedySearchDecoder,

@@ -454,3 +454,53 @@ def device_beam_search(logp: np.ndarray, lengths: np.ndarray,
                               float(scores[b, i])))
         out.append(beams)
     return out
+
+
+class CTCDeviceBeamSearchDecoder:
+    """Engine-compatible decoder running the WHOLE beam search on device.
+
+    Drop-in alternative to `beam.CTCBeamSearchDecoder` for LM-free or
+    n-gram-fused decoding (no neural rescoring — that stays a host-driven
+    GPT pass): `device_fn` passes logits through the jitted eval step;
+    `__call__` runs the jitted scan (decode/device_beam.py) and
+    detokenizes the best beam. Scores/semantics are oracle-anchored to the
+    host decoders (tests/test_beam_oracle.py).
+    """
+
+    def __init__(self, tokenizer_path: str, beam_size: int = 16,
+                 ngram_path: Optional[str] = None, ngram_tmp: float = 1.0,
+                 ngram_alpha: float = 0.6, ngram_beta: float = 1.0,
+                 ngram_offset: int = 100,
+                 cutoff_top_n: Optional[int] = None, blank: int = 0):
+        from avec_tpu.decode.ngram import ArpaLM
+        from avec_tpu.utils.tokenizer import load_tokenizer
+
+        self.tokenizer = load_tokenizer(tokenizer_path)
+        self.beam_size = beam_size
+        self.ngram_tmp = ngram_tmp
+        self.alpha = ngram_alpha
+        self.beta = ngram_beta
+        self.cutoff_top_n = cutoff_top_n
+        self.blank = blank
+        self.tables = (DeviceNgramTables(ArpaLM(ngram_path),
+                                         offset=ngram_offset)
+                       if ngram_path else None)
+
+    def device_fn(self, outputs):
+        return outputs  # full logits to the decode stage (still on device)
+
+    def __call__(self, outputs, from_logits: bool = True) -> List[str]:
+        if not from_logits:
+            labels, lens = np.asarray(outputs[0]), np.asarray(outputs[1])
+            return self.tokenizer.decode(
+                [labels[b, : lens[b]].tolist() for b in range(len(labels))])
+        logits = np.asarray(outputs[0], np.float32) / self.ngram_tmp
+        lengths = np.asarray(outputs[1]).astype(np.int32)
+        m = logits.max(-1, keepdims=True)
+        logp = logits - (m + np.log(np.exp(logits - m).sum(-1,
+                                                           keepdims=True)))
+        beams = device_beam_search(
+            logp, lengths, beam_size=self.beam_size, blank=self.blank,
+            tables=self.tables, alpha=self.alpha, beta=self.beta,
+            cutoff_top_n=self.cutoff_top_n)
+        return self.tokenizer.decode([list(bs[0][0]) for bs in beams])

@@ -257,3 +257,43 @@ def test_wer():
     assert wer(["Hello, World!"], ["hello world"]) == 0.0
     assert standardize("I'm can't") == "i am can not"
     assert edit_distance("a b c".split(), "a c".split()) == 1
+
+
+def test_device_beam_decoder_class(tmp_path):
+    """CTCDeviceBeamSearchDecoder: engine decoder contract (device_fn
+    passthrough + host detokenize of the jitted beam search's best beam),
+    LM-free leg == Python prefix beam search."""
+    import os
+
+    from avec_tpu.data.synthetic import tone_tokenizer
+    from avec_tpu.decode.beam import ctc_prefix_beam_search
+    from avec_tpu.decode.device_beam import CTCDeviceBeamSearchDecoder
+
+    tok_path = os.path.join(str(tmp_path), "tok.json")
+    tone_tokenizer(16).save(tok_path)
+    dec = CTCDeviceBeamSearchDecoder(tok_path, beam_size=4)
+
+    rng = np.random.RandomState(3)
+    logits = rng.randn(3, 10, 16).astype(np.float32) * 2.0
+    lengths = np.array([10, 7, 4], np.int32)
+    outputs = (logits, lengths)
+    assert dec.device_fn(outputs) is outputs
+    texts = dec(outputs)
+    assert len(texts) == 3
+
+    logp = logits - _lse_np(logits)
+    for b in range(3):
+        py = ctc_prefix_beam_search(logp[b].astype(np.float64),
+                                    int(lengths[b]), 4)
+        want = dec.tokenizer.decode([list(py[0][0])])[0]
+        assert texts[b] == want, (b, texts[b], want)
+
+    # from_logits=False: targets path (labels + lengths -> text).
+    labels = np.array([[3, 5, 0], [2, 0, 0]], np.int32)
+    got = dec((labels, np.array([2, 1], np.int32)), from_logits=False)
+    assert got == dec.tokenizer.decode([[3, 5], [2]])
+
+
+def _lse_np(x):
+    m = x.max(-1, keepdims=True)
+    return m + np.log(np.exp(x - m).sum(-1, keepdims=True))

@@ -184,46 +184,12 @@ def main():
 
     # ---- leg C: device beam + n-gram shallow fusion.
     if args.device_beam:
-        from avec_tpu.decode.device_beam import (
-            DeviceNgramTables,
-            device_beam_search,
-        )
-        from avec_tpu.decode.ngram import ArpaLM
+        from avec_tpu.decode.device_beam import CTCDeviceBeamSearchDecoder
 
-        tables = DeviceNgramTables(ArpaLM(arpa), offset=100)
-
-        class DeviceBeamDecoder:
-            """Greedy-decoder-shaped wrapper: device_fn passes logits
-            through; __call__ runs the jitted beam search."""
-
-            def __init__(self, tokenizer_path):
-                from avec_tpu.utils.tokenizer import load_tokenizer
-
-                self.tokenizer = load_tokenizer(tokenizer_path)
-
-            def device_fn(self, outputs):
-                return outputs
-
-            def __call__(self, outputs, from_logits=True):
-                if not from_logits:
-                    labels, lens = outputs
-                    labels, lens = np.asarray(labels), np.asarray(lens)
-                    return self.tokenizer.decode(
-                        [labels[b, : lens[b]].tolist()
-                         for b in range(len(labels))])
-                logits, lengths = np.asarray(outputs[0]), np.asarray(outputs[1])
-                logp = logits - _lse(logits)
-                beams = device_beam_search(
-                    logp, lengths.astype(np.int32), beam_size=args.beam,
-                    tables=tables, alpha=0.6, beta=1.0)
-                return self.tokenizer.decode(
-                    [list(bs[0][0]) for bs in beams])
-
-        def _lse(x):
-            m = x.max(-1, keepdims=True)
-            return m + np.log(np.exp(x - m).sum(-1, keepdims=True))
-
-        run("device_beam16+6gram", build_model(DeviceBeamDecoder(tok_path)))
+        dev_dec = CTCDeviceBeamSearchDecoder(
+            tok_path, beam_size=args.beam, ngram_path=arpa,
+            ngram_alpha=0.6, ngram_beta=1.0, ngram_offset=100)
+        run("device_beam16+6gram", build_model(dev_dec))
 
 
 if __name__ == "__main__":
