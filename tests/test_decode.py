@@ -297,3 +297,39 @@ def test_device_beam_decoder_class(tmp_path):
 def _lse_np(x):
     m = x.max(-1, keepdims=True)
     return m + np.log(np.exp(x - m).sum(-1, keepdims=True))
+
+
+def test_device_beam_key_packing_ops():
+    """Packed-key bit ops: shift-in / truncate / drop-last agree with the
+    host packer for random token sequences (the LM walk's correctness rests
+    on these)."""
+    import jax.numpy as jnp
+
+    from avec_tpu.decode.device_beam import (
+        _SLOTS,
+        _drop_last,
+        _pack_host,
+        _shift_in,
+        _truncate,
+    )
+
+    rng = np.random.RandomState(0)
+    for _ in range(50):
+        n = rng.randint(1, 9)
+        seq = [int(t) for t in rng.randint(0, 500, size=n)]
+        # Device-side incremental packing == host packing of the tail.
+        hi = lo = jnp.int32(0)
+        for t in seq:
+            hi, lo = _shift_in(hi, lo, jnp.int32(t))
+        want = _pack_host(tuple(seq[-2 * _SLOTS:]))
+        assert (int(hi), int(lo)) == want, seq
+        # Truncation to every k == host packing of the last k tokens.
+        for k in range(0, 2 * _SLOTS + 1):
+            thi, tlo = _truncate(hi, lo, k)
+            w = _pack_host(tuple(seq[-min(k, 2 * _SLOTS):])
+                           if min(k, 2 * _SLOTS) else ())
+            assert (int(thi), int(tlo)) == w, (seq, k)
+        # Drop-last == host packing of seq[:-1]'s tail.
+        dhi, dlo = _drop_last(hi, lo)
+        w = _pack_host(tuple(seq[-2 * _SLOTS:][:-1]))
+        assert (int(dhi), int(dlo)) == w, seq
