@@ -29,6 +29,7 @@ reference's mask[::s, ::s] / (len-1)//s+1 semantics hold
 import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -52,6 +53,14 @@ def _unroll_blocks_default() -> bool:
     return os.environ.get("AVEC_TPU_UNROLL_BLOCKS", "") == "1"
 
 
+def _fused_ffn_enabled() -> bool:
+    """AVEC_TPU_FUSED_FFN=1 routes FeedForwardModule through the fused
+    Pallas kernel (ops/pallas_ffn.py). Opt-in: a pallas_call is opaque to
+    GSPMD, so the flag must stay off for >1-device meshes unless the caller
+    wraps the step in shard_map."""
+    return os.environ.get("AVEC_TPU_FUSED_FFN", "") == "1"
+
+
 class FeedForwardModule(nn.Module):
     """Pre-norm FFN: LN -> Linear(4x) -> act -> drop -> Linear -> drop.
 
@@ -69,6 +78,29 @@ class FeedForwardModule(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        if (_fused_ffn_enabled() and not self.is_initializing()
+                and self.prenorm and x.ndim == 3
+                and self.act_fun == "Swish"
+                and (self.inner_dropout or deterministic
+                     or self.drop_rate == 0.0)):
+            # Whole-FFN Pallas kernel: LN + Linear(4x) + swish + dropout +
+            # Linear + dropout in one VMEM-resident pass (fwd AND bwd).
+            # Param tree unchanged — the kernel reads the same child params
+            # the unfused path creates (init always traces unfused).
+            from avec_tpu.ops.pallas_ffn import fused_ffn_3d
+
+            p = self.variables["params"]
+            seed = None
+            if not deterministic and self.drop_rate > 0.0:
+                bits = jax.random.bits(self.make_rng("dropout"),
+                                       dtype=jnp.uint32)
+                seed = (bits & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+            return fused_ffn_3d(
+                x, p["LayerNorm_0"]["scale"], p["LayerNorm_0"]["bias"],
+                p["Linear_0"]["kernel"], p["Linear_0"]["bias"],
+                p["Linear_1"]["kernel"], p["Linear_1"]["bias"],
+                seed=seed, epsilon=1e-6, drop_rate=self.drop_rate,
+                deterministic=deterministic)
         if self.prenorm:
             x = LayerNorm(epsilon=1e-6)(x)
         x = Linear(self.dim_ffn, weight_init=self.weight_init,

@@ -1,0 +1,153 @@
+"""Fused FFN Pallas kernel (ops/pallas_ffn.py) vs the unfused module.
+
+Runs in interpret mode on the CPU test mesh. Covers: forward exactness vs
+FeedForwardModule (deterministic), full gradient exactness vs autodiff of
+the unfused path, dropout mask consistency between forward and backward
+(finite differences on the fused function itself), and the module-level
+env-flag routing with an unchanged param tree.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avec_tpu.models.conformer import FeedForwardModule
+from avec_tpu.ops.pallas_ffn import fused_ffn_3d
+
+
+def _params(key, d, f, dtype=jnp.float32):
+    ks = jax.random.split(key, 6)
+    u = lambda k, shape, s: (jax.random.uniform(k, shape, jnp.float32,
+                                                -s, s)).astype(dtype)
+    return dict(
+        scale=1.0 + 0.1 * jax.random.normal(ks[0], (d,)),
+        bias=0.1 * jax.random.normal(ks[1], (d,)),
+        w1=u(ks[2], (d, f), d ** -0.5), b1=u(ks[3], (f,), d ** -0.5),
+        w2=u(ks[4], (f, d), f ** -0.5), b2=u(ks[5], (d,), f ** -0.5),
+    )
+
+
+def _unfused_tree(p):
+    return {"params": {
+        "LayerNorm_0": {"scale": p["scale"], "bias": p["bias"]},
+        "Linear_0": {"kernel": p["w1"], "bias": p["b1"]},
+        "Linear_1": {"kernel": p["w2"], "bias": p["b2"]},
+    }}
+
+
+@pytest.mark.parametrize("d,f,bt", [(180, 720, (2, 37)), (64, 256, (3, 300))])
+def test_forward_matches_unfused(d, f, bt):
+    b, t = bt
+    key = jax.random.PRNGKey(0)
+    p = _params(key, d, f)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, t, d), jnp.float32)
+
+    mod = FeedForwardModule(dim_model=d, dim_ffn=f, drop_rate=0.1)
+    ref = mod.apply(_unfused_tree(p), x, deterministic=True)
+    got = fused_ffn_3d(x, p["scale"], p["bias"], p["w1"], p["b1"],
+                       p["w2"], p["b2"], deterministic=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_grads_match_unfused():
+    d, f, b, t = 96, 384, 2, 50
+    p = _params(jax.random.PRNGKey(2), d, f)
+    x = jax.random.normal(jax.random.PRNGKey(3), (b, t, d), jnp.float32)
+    mod = FeedForwardModule(dim_model=d, dim_ffn=f, drop_rate=0.0)
+    cot = jax.random.normal(jax.random.PRNGKey(4), (b, t, d), jnp.float32)
+
+    def loss_ref(x, p):
+        return (mod.apply(_unfused_tree(p), x, deterministic=True)
+                * cot).sum()
+
+    def loss_fused(x, p):
+        y = fused_ffn_3d(x, p["scale"], p["bias"], p["w1"], p["b1"],
+                         p["w2"], p["b2"], deterministic=True,
+                         interpret=True)
+        return (y * cot).sum()
+
+    gx_r, gp_r = jax.grad(loss_ref, argnums=(0, 1))(x, p)
+    gx_f, gp_f = jax.grad(loss_fused, argnums=(0, 1))(x, p)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               atol=3e-4, rtol=3e-4)
+    for k in p:
+        np.testing.assert_allclose(np.asarray(gp_f[k]), np.asarray(gp_r[k]),
+                                   atol=3e-4, rtol=3e-4,
+                                   err_msg=f"param {k}")
+
+
+def test_dropout_deterministic_given_seed_and_consistent_bwd():
+    """Same seed -> identical output; bwd regenerates the same masks as
+    fwd (checked by finite differences: the fused function with a fixed
+    seed is an ordinary differentiable function)."""
+    d, f, b, t = 64, 256, 2, 40
+    p = _params(jax.random.PRNGKey(5), d, f)
+    x = jax.random.normal(jax.random.PRNGKey(6), (b, t, d), jnp.float32)
+    seed = jnp.array([1234], jnp.int32)
+
+    kw = dict(drop_rate=0.3, deterministic=False, interpret=True)
+    y1 = fused_ffn_3d(x, p["scale"], p["bias"], p["w1"], p["b1"],
+                      p["w2"], p["b2"], seed=seed, **kw)
+    y2 = fused_ffn_3d(x, p["scale"], p["bias"], p["w1"], p["b1"],
+                      p["w2"], p["b2"], seed=seed, **kw)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+    # Roughly drop_rate of outputs exactly zero (outer mask).
+    frac_zero = float((np.asarray(y1) == 0.0).mean())
+    assert 0.15 < frac_zero < 0.45, frac_zero
+
+    def loss(x):
+        y = fused_ffn_3d(x, p["scale"], p["bias"], p["w1"], p["b1"],
+                         p["w2"], p["b2"], seed=seed, **kw)
+        return (y * jnp.cos(jnp.arange(y.size, dtype=jnp.float32)
+                            .reshape(y.shape))).sum()
+
+    g = jax.grad(loss)(x)
+    v = jax.random.normal(jax.random.PRNGKey(7), x.shape)
+    eps = 1e-3
+    fd = (loss(x + eps * v) - loss(x - eps * v)) / (2 * eps)
+    analytic = (g * v).sum()
+    np.testing.assert_allclose(float(analytic), float(fd), rtol=2e-2,
+                               atol=2e-2)
+
+
+def test_module_env_flag_routes_and_param_tree_unchanged():
+    d, f, b, t = 64, 256, 2, 30
+    x = jax.random.normal(jax.random.PRNGKey(8), (b, t, d), jnp.float32)
+    mod = FeedForwardModule(dim_model=d, dim_ffn=f, drop_rate=0.1)
+    variables = mod.init(jax.random.PRNGKey(9), x, deterministic=True)
+
+    ref = mod.apply(variables, x, deterministic=True)
+    os.environ["AVEC_TPU_FUSED_FFN"] = "1"
+    try:
+        fused = mod.apply(variables, x, deterministic=True)
+        # Training path with dropout: needs only the dropout rng, and runs.
+        out = mod.apply(variables, x, deterministic=False,
+                        rngs={"dropout": jax.random.PRNGKey(10)})
+        assert out.shape == x.shape
+        # init under the flag must still create the unfused tree.
+        v2 = mod.init(jax.random.PRNGKey(9), x, deterministic=True)
+        assert jax.tree.structure(v2) == jax.tree.structure(variables)
+    finally:
+        del os.environ["AVEC_TPU_FUSED_FFN"]
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_bfloat16_path():
+    d, f, b, t = 180, 720, 2, 60
+    p = _params(jax.random.PRNGKey(11), d, f)
+    x = jax.random.normal(jax.random.PRNGKey(12), (b, t, d),
+                          jnp.float32).astype(jnp.bfloat16)
+    mod = FeedForwardModule(dim_model=d, dim_ffn=f, drop_rate=0.0)
+    ref = mod.apply(_unfused_tree(p), x, deterministic=True)
+    got = fused_ffn_3d(x, p["scale"], p["bias"], p["w1"], p["b1"],
+                       p["w2"], p["b2"], deterministic=True, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=3e-2, rtol=3e-2)
