@@ -315,6 +315,39 @@ def _fused_ffn_bwd(epsilon, drop_rate, train, interpret, res, g):
 fused_ffn.defvjp(_fused_ffn_fwd, _fused_ffn_bwd)
 
 
+def fused_ffn_3d_dp(mesh, axis, x, scale, bias, w1, b1, w2, b2, *,
+                    seed=None, epsilon=1e-6, drop_rate=0.0,
+                    deterministic=True, interpret=None):
+    """Mesh-safe fused FFN: the pallas_call is opaque to GSPMD, so under a
+    >1-device mesh the kernel must run per-shard. This wraps fused_ffn_3d
+    in jax.shard_map with the batch dim sharded over `axis` and the params
+    replicated — shard_map's transpose inserts the weight-grad psum, and
+    the dropout seed is decorrelated per shard (seed + axis_index * odd)
+    so shards never reuse a tile PRNG stream."""
+    from jax.sharding import PartitionSpec as P
+
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    else:
+        seed = jnp.asarray(seed, jnp.int32).reshape(-1)[:1]
+
+    def body(x, scale, bias, w1, b1, w2, b2, seed):
+        idx = jax.lax.axis_index(axis)
+        shard_seed = seed + (idx.astype(jnp.int32) + 1) * np.int32(0x68E31DA5)
+        return fused_ffn_3d(x, scale, bias, w1, b1, w2, b2, seed=shard_seed,
+                            epsilon=epsilon, drop_rate=drop_rate,
+                            deterministic=deterministic, interpret=interpret)
+
+    rep = P()
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation, which the jax>=0.8 vma checker requires otherwise.
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), rep, rep, rep, rep, rep, rep, rep),
+        out_specs=P(axis), check_vma=False)(x, scale, bias, w1, b1, w2, b2,
+                                            seed)
+
+
 def fused_ffn_3d(x, scale, bias, w1, b1, w2, b2, *, seed=None,
                  epsilon=1e-6, drop_rate=0.0, deterministic=True,
                  interpret=None):

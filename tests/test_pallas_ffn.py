@@ -151,3 +151,54 @@ def test_bfloat16_path():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32),
                                atol=3e-2, rtol=3e-2)
+
+
+def test_shard_map_dp_matches_global():
+    """fused_ffn_3d_dp on an 8-device CPU mesh: batch-sharded fwd and full
+    grads (incl. the psum'd replicated weight grads) match the unsharded
+    fused path exactly (deterministic)."""
+    from jax.sharding import Mesh
+    from avec_tpu.ops.pallas_ffn import fused_ffn_3d_dp
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU test mesh")
+    d, f, b, t = 64, 256, 8, 25
+    p = _params(jax.random.PRNGKey(13), d, f)
+    x = jax.random.normal(jax.random.PRNGKey(14), (b, t, d), jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    cot = jax.random.normal(jax.random.PRNGKey(15), (b, t, d), jnp.float32)
+
+    def loss_dp(x, p):
+        y = fused_ffn_3d_dp(mesh, "data", x, p["scale"], p["bias"],
+                            p["w1"], p["b1"], p["w2"], p["b2"],
+                            deterministic=True, interpret=True)
+        return (y * cot).sum()
+
+    def loss_ref(x, p):
+        y = fused_ffn_3d(x, p["scale"], p["bias"], p["w1"], p["b1"],
+                         p["w2"], p["b2"], deterministic=True,
+                         interpret=True)
+        return (y * cot).sum()
+
+    yd, (gx_d, gp_d) = jax.value_and_grad(loss_dp, argnums=(0, 1))(x, p)
+    yr, (gx_r, gp_r) = jax.value_and_grad(loss_ref, argnums=(0, 1))(x, p)
+    np.testing.assert_allclose(float(yd), float(yr), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx_d), np.asarray(gx_r),
+                               atol=1e-5, rtol=1e-5)
+    for k in p:
+        np.testing.assert_allclose(np.asarray(gp_d[k]), np.asarray(gp_r[k]),
+                                   atol=1e-5, rtol=1e-5, err_msg=f"param {k}")
+
+    # Dropout: per-shard seeds are decorrelated (different shards drop
+    # different positions) yet deterministic given the seed.
+    kw = dict(drop_rate=0.25, deterministic=False, interpret=True)
+    seed = jnp.array([5], jnp.int32)
+    y1 = fused_ffn_3d_dp(mesh, "data", x, p["scale"], p["bias"], p["w1"],
+                         p["b1"], p["w2"], p["b2"], seed=seed, **kw)
+    y2 = fused_ffn_3d_dp(mesh, "data", x, p["scale"], p["bias"], p["w1"],
+                         p["b1"], p["w2"], p["b2"], seed=seed, **kw)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    z = np.asarray(y1) == 0.0
+    per_shard = z.reshape(8, -1).mean(axis=1)
+    assert per_shard.std() > 0.0  # shards drew different masks
+    assert 0.1 < z.mean() < 0.45
