@@ -104,6 +104,13 @@ def bench_jax():
     # default is resolved at trace time (models/conformer.py).
     os.environ.setdefault("AVEC_TPU_UNROLL_BLOCKS", "1")
 
+    # Fused FFN Pallas kernel (training path only): measured keep,
+    # 227.95 vs 222.26 utt/s/chip at B=16/6 s on the v5e. Single-chip only
+    # (a pallas_call is opaque to GSPMD; bench runs a 1-device mesh —
+    # multi-device callers go through ops/pallas_ffn.fused_ffn_3d_dp).
+    os.environ.setdefault("AVEC_TPU_FUSED_FFN", "1")
+    fused_ffn = os.environ["AVEC_TPU_FUSED_FFN"] == "1"
+
     # Persistent compile cache: the AV train step is a large graph (~15-25 min
     # cold over the TPU tunnel); repeat bench runs must hit the cache.
     try:
@@ -145,9 +152,27 @@ def bench_jax():
     jax.block_until_ready(state["params"])
 
     # Per-step model FLOPs from the compiled executable (XLA cost analysis).
+    # With the fused FFN on, the pallas custom call is opaque to the cost
+    # model (it would UNDERCOUNT by ~0.37 TFLOP/step and overstate nothing),
+    # so the flops come from compiling the UNFUSED step — identical model
+    # math, and a persistent-cache hit since the unfused variant is the
+    # historical bench program. MFU therefore stays model-flops-based and
+    # comparable across rounds (the fused kernel's in-VMEM recompute is NOT
+    # credited to MFU).
     step_flops = None
     try:
-        cost = train_step.lower(state, gbatch, rng).compile().cost_analysis()
+        if fused_ffn:
+            os.environ["AVEC_TPU_FUSED_FFN"] = "0"
+            try:
+                cost_step = model._build_train_step(accumulated_steps=1,
+                                                    eval_training=False)
+                cost = cost_step.lower(state, gbatch,
+                                       rng).compile().cost_analysis()
+            finally:
+                os.environ["AVEC_TPU_FUSED_FFN"] = "1"
+        else:
+            cost = train_step.lower(state, gbatch,
+                                    rng).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         step_flops = float(cost.get("flops", 0.0)) or None
