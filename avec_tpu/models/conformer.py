@@ -53,6 +53,15 @@ def _unroll_blocks_default() -> bool:
     return os.environ.get("AVEC_TPU_UNROLL_BLOCKS", "") == "1"
 
 
+def _fused_conv_enabled() -> bool:
+    """AVEC_TPU_FUSED_CONV=1 routes ConvolutionModule (training mode,
+    stride 1, BN, Swish, same/causal padding) through the fused Pallas
+    kernels (ops/pallas_conv_module.py). Same opt-in/sharding rules as
+    the fused FFN below; multi-device callers must use
+    ops/pallas_conv_module.fused_conv_module_3d_dp."""
+    return os.environ.get("AVEC_TPU_FUSED_CONV", "") == "1"
+
+
 def _fused_ffn_enabled() -> bool:
     """AVEC_TPU_FUSED_FFN=1 routes FeedForwardModule (training mode only)
     through the fused Pallas kernel (ops/pallas_ffn.py). Opt-in: a
@@ -177,6 +186,39 @@ class ConvolutionModule(nn.Module):
     def __call__(self, x, deterministic: bool = True, state=None,
                  return_state: bool = False):
         from avec_tpu.ops.layers import ConvTranspose
+
+        if (_fused_conv_enabled() and not self.is_initializing()
+                and not deterministic and not return_state
+                and not self.transposed and self.stride == 1
+                and self.batch_norm and self.act_fun == "Swish"
+                and self.padding in ("same", "causal") and x.ndim == 3):
+            # Training only (train-mode BN batch stats are what force the
+            # two-pass structure; eval BN is a pure elementwise chain XLA
+            # already fuses). The kernel computes the whole module body
+            # VMEM-resident; this branch reads the same child params the
+            # unfused path creates (init always traces unfused) and routes
+            # the batch stats through the BatchNorm child so the running-
+            # stat update (and the variable tree) is unchanged.
+            from avec_tpu.ops.pallas_conv_module import fused_conv_module_3d
+
+            p = self.variables["params"]
+            seed = None
+            if self.drop_rate > 0.0:
+                bits = jax.random.bits(self.make_rng("dropout"),
+                                       dtype=jnp.uint32)
+                seed = (bits & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+            y, mean, var = fused_conv_module_3d(
+                x, p["LayerNorm_0"]["scale"], p["LayerNorm_0"]["bias"],
+                p["Conv_0"]["kernel"], p["Conv_0"]["bias"],
+                p["Conv_1"]["kernel"], p["Conv_1"]["bias"],
+                p["BatchNorm_0"]["scale"], p["BatchNorm_0"]["bias"],
+                p["Conv_2"]["kernel"], p["Conv_2"]["bias"],
+                seed=seed, padding=self.padding, drop_rate=self.drop_rate,
+                deterministic=False)
+            BatchNorm(name="BatchNorm_0")(
+                None, use_running_average=False,
+                precomputed=(mean, var, x.shape[0] * x.shape[1]))
+            return y
 
         x = LayerNorm(epsilon=1e-6)(x)
         x = Conv(2 * self.dim_expand, kernel_size=1, ndim=1)(x)

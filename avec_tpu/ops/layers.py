@@ -550,10 +550,33 @@ class BatchNorm(nn.Module):
     frozen: bool = False
 
     @nn.compact
-    def __call__(self, x, use_running_average: Optional[bool] = None):
+    def __call__(self, x, use_running_average: Optional[bool] = None,
+                 precomputed=None):
         use_ra = nn.merge_param("use_running_average",
                                 self.use_running_average, use_running_average)
         use_ra = use_ra or self.frozen
+        if precomputed is not None:
+            # Fused-kernel path (ops/pallas_conv_module): the kernel already
+            # normalized with these batch stats; this call only performs the
+            # RUNNING-stat update so the variable tree and semantics match
+            # the unfused path exactly. `precomputed` is (mean, biased_var,
+            # n_elements) with f32 stats.
+            assert not use_ra and not self.frozen
+            mean, var, n = precomputed
+            dim = mean.shape[-1]
+            ra_mean = self.variable("batch_stats", "mean",
+                                    lambda: jnp.zeros((dim,), jnp.float32))
+            ra_var = self.variable("batch_stats", "var",
+                                   lambda: jnp.ones((dim,), jnp.float32))
+            self.param("scale", ones_init, (dim,))
+            self.param("bias", zeros_init, (dim,))
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * unbiased)
+            return None
         dim = x.shape[-1]
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((dim,), jnp.float32))
