@@ -197,6 +197,59 @@ def test_bfloat16_path():
                                atol=5e-2, rtol=5e-2)
 
 
+def test_fused_conv_under_scanned_block_run():
+    """fit() wraps uniform block runs in nn.scan (models/conformer.py:541);
+    the fused branch must be exact inside a scanned ConformerBlock — per-
+    iteration params arrive as dynamic slices and batch_stats are carried
+    per block. Compares a 3-block scanned stack, flag on vs off, in train
+    mode: outputs, batch-stat updates, and grads."""
+    from avec_tpu.models.conformer import ConformerInterCTC
+    from avec_tpu.ops.masks import make_mask
+
+    att = {"class": "RelPos1dMultiHeadAttention",
+           "params": {"num_heads": 2, "attn_drop_rate": 0.0,
+                      "num_pos_embeddings": 64,
+                      "weight_init": "default", "bias_init": "default"}}
+    net = ConformerInterCTC(dim_model=[32], num_blocks=[3],
+                            interctc_blocks=[], vocab_size=7, att_params=att,
+                            kernel_size=7, drop_rate=0.0, conv_stride=1,
+                            loss_prefix="ctc", unroll_blocks=False)
+    x = jax.random.normal(jax.random.PRNGKey(20), (2, 24, 32))
+    lengths = jnp.array([24, 17])
+    mask = make_mask(24, lengths)
+    rngs = {"dropout": jax.random.PRNGKey(21)}
+    variables = net.init(jax.random.PRNGKey(22), x, lengths, mask)
+
+    def run(x, params):
+        (out, _, _), mut = net.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, lengths, mask, deterministic=False, mutable=["batch_stats"],
+            rngs=rngs)
+        return out, mut
+
+    def loss(x, params):
+        out, _ = run(x, params)
+        return (out ** 2).sum()
+
+    ref, mut_ref = run(x, variables["params"])
+    g_ref = jax.grad(loss, argnums=(0, 1))(x, variables["params"])
+    os.environ["AVEC_TPU_FUSED_CONV"] = "1"
+    try:
+        fused, mut_f = run(x, variables["params"])
+        g_f = jax.grad(loss, argnums=(0, 1))(x, variables["params"])
+    finally:
+        del os.environ["AVEC_TPU_FUSED_CONV"]
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+    assert jax.tree.structure(mut_f) == jax.tree.structure(mut_ref)
+    for a, r in zip(jax.tree.leaves(mut_f), jax.tree.leaves(mut_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=1e-5, rtol=1e-5)
+    for a, r in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-3, rtol=2e-3)
+
+
 def test_shard_map_dp_matches_global():
     """Data-sharded wrapper: BN stats must be GLOBAL (psum'd), so the
     sharded module equals the unsharded fused path — forward, batch
