@@ -62,6 +62,16 @@ def _fused_conv_enabled() -> bool:
     return os.environ.get("AVEC_TPU_FUSED_CONV", "") == "1"
 
 
+def _fused_att_enabled() -> bool:
+    """AVEC_TPU_FUSED_ATT=1 routes AttentionModule (training mode,
+    non-causal RelPos1d self-attention on the factorized path, key-padding
+    masks only, attn dropout off — every AVEC config) through the fused
+    Pallas kernels (ops/pallas_attention_module.py). Same opt-in/sharding
+    rules as the fused FFN below; multi-device callers must use
+    ops/pallas_attention_module.fused_attention_module_3d_dp."""
+    return os.environ.get("AVEC_TPU_FUSED_ATT", "") == "1"
+
+
 def _fused_ffn_enabled() -> bool:
     """AVEC_TPU_FUSED_FFN=1 routes FeedForwardModule (training mode only)
     through the fused Pallas kernel (ops/pallas_ffn.py). Opt-in: a
@@ -140,9 +150,57 @@ class AttentionModule(nn.Module):
     drop_rate: float
     residual: bool = True
 
+    def _fused_eligible(self, x, mask, deterministic, hidden, return_hidden):
+        """Gate for the fused Pallas path: training-mode, non-causal
+        RelPos1d self-attention with attention dropout off, on the
+        factorized rel-pos path (the in-model default), with at most a
+        key-padding mask (the kernel reconstructs it from lengths). Init
+        always traces unfused so the child param tree is unchanged."""
+        if (not _fused_att_enabled() or self.is_initializing()
+                or deterministic or return_hidden or hidden is not None
+                or x.ndim != 3
+                or self.att_params.get("class") != "RelPos1dMultiHeadAttention"
+                or not (mask is None
+                        or (mask.ndim == 4 and mask.shape[2] == 1))):
+            return False
+        ap = dict(self.att_params.get("params", {}))
+        factorized = ap.get("factorized")
+        if factorized is None:
+            factorized = os.environ.get("AVEC_TPU_FACTORIZED_ATT", "1") == "1"
+        h = ap.get("num_heads", 1)
+        return (factorized and not ap.get("causal", False)
+                and not ap.get("use_flash", False)
+                and ap.get("attn_drop_rate", 0.0) == 0.0
+                and self.dim_model % h == 0 and self.dim_model % 2 == 0)
+
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True,
                  hidden=None, return_hidden: bool = False):
+        if self._fused_eligible(x, mask, deterministic, hidden,
+                                return_hidden):
+            from avec_tpu.ops.pallas_attention_module import (
+                fused_attention_module_3d)
+
+            p = self.variables["params"]
+            a = p["RelPos1dMultiHeadAttention_0"]
+            seed = None
+            if self.drop_rate > 0.0:
+                bits = jax.random.bits(self.make_rng("dropout"),
+                                       dtype=jnp.uint32)
+                seed = (bits & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+            lengths = (None if mask is None
+                       else mask[:, 0, 0, :].sum(axis=-1).astype(jnp.int32))
+            return fused_attention_module_3d(
+                x, p["LayerNorm_0"]["scale"], p["LayerNorm_0"]["bias"],
+                a["query_layer"]["kernel"], a["query_layer"]["bias"],
+                a["key_layer"]["kernel"], a["key_layer"]["bias"],
+                a["value_layer"]["kernel"], a["value_layer"]["bias"],
+                a["pos_kernel"], a["pos_bias"],
+                a["output_layer"]["kernel"], a["output_layer"]["bias"],
+                num_heads=self.att_params["params"]["num_heads"],
+                lengths=lengths, seed=seed, drop_rate=self.drop_rate,
+                deterministic=False, residual=self.residual)
+
         x_res = x
         x = LayerNorm(epsilon=1e-6)(x)
         att = make_attention(self.dim_model, self.att_params)
