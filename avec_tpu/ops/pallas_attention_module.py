@@ -73,13 +73,11 @@ from avec_tpu.ops.pallas_ffn import _ln_f32
 NEG_INF = -1e9  # ops/masks.NEG_INF — additive key-padding masking
 
 
-def _head_mask(h, num_heads, d, dtype):
-    """(1, d) multiplier zeroing lanes outside head h (built from iota —
-    no extra kernel input)."""
-    dh = d // num_heads
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, d), 1)
-    return jnp.where((lane >= h * dh) & (lane < (h + 1) * dh),
-                     jnp.ones((), dtype), jnp.zeros((), dtype))
+# Head lane masks arrive as a precomputed (H, 1, d) input: building them
+# in-kernel from iota comparisons produced a (1, d) i1 vector whose
+# replicated->tiled relayout Mosaic rejects ("Invalid relayout: Non-
+# singleton logical dimension is replicated in destination but not in
+# source", v5e, jax 0.8).
 
 
 def _proj(h, w_ref, b_ref, cdt):
@@ -111,14 +109,18 @@ def _head_scores(q, k, ws_ref, wc_ref, bh_ref, sin_ref, cos_ref, hm, head,
     qb = jnp.dot(q, bh_ref[head].T.astype(cdt),
                  preferred_element_type=jnp.float32).astype(cdt)  # (T, 1)
     s = ((s_k + s_e + qb).astype(jnp.float32) * scale).astype(cdt)
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
-    neg = jnp.where(col >= ln, jnp.asarray(NEG_INF, cdt), jnp.zeros((), cdt))
-    return s + neg
+    # Arithmetic mask — NO booleans: any iota comparison here produces a
+    # sublane-replicated i1 vector whose replicated->tiled relayout Mosaic
+    # rejects (v5e, jax 0.8). clip(col - len + 1, 0, 1) is exactly the
+    # indicator of col >= len on integer-valued floats.
+    col = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1).astype(jnp.float32)
+    ind = jnp.clip(col - ln.astype(jnp.float32) + 1.0, 0.0, 1.0)
+    return s + (ind * NEG_INF).astype(cdt)
 
 
 def _fwd_kernel(seed_ref, len_ref, x_ref, ls_ref, lb_ref, wq_ref, bq_ref,
                 wk_ref, bk_ref, wv_ref, bv_ref, ws_ref, wc_ref, bh_ref,
-                wo_ref, bo_ref, sin_ref, cos_ref, o_ref, *,
+                wo_ref, bo_ref, sin_ref, cos_ref, hm_ref, o_ref, *,
                 num_heads, scale, ln_eps, drop_rate, train, residual,
                 interpret):
     cdt = x_ref.dtype
@@ -130,7 +132,7 @@ def _fwd_kernel(seed_ref, len_ref, x_ref, ls_ref, lb_ref, wq_ref, bq_ref,
     t, d = q.shape
     acc = jnp.zeros((t, d), jnp.float32)
     for head in range(num_heads):
-        hm = _head_mask(head, num_heads, d, cdt)
+        hm = hm_ref[head].astype(cdt)
         s = _head_scores(q, k, ws_ref, wc_ref, bh_ref, sin_ref, cos_ref,
                          hm, head, scale, ln, cdt)
         att = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(cdt)
@@ -146,7 +148,7 @@ def _fwd_kernel(seed_ref, len_ref, x_ref, ls_ref, lb_ref, wq_ref, bq_ref,
 
 def _bwd_kernel(seed_ref, len_ref, x_ref, g_ref, ls_ref, lb_ref, wq_ref,
                 bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, ws_ref, wc_ref,
-                bh_ref, wo_ref, bo_ref, sin_ref, cos_ref,
+                bh_ref, wo_ref, bo_ref, sin_ref, cos_ref, hm_ref,
                 dx_ref, dls_ref, dlb_ref, dwq_ref, dbq_ref, dwk_ref,
                 dbk_ref, dwv_ref, dbv_ref, dws_ref, dwc_ref, dbh_ref,
                 dwo_ref, dbo_ref, *,
@@ -174,7 +176,7 @@ def _bwd_kernel(seed_ref, len_ref, x_ref, g_ref, ls_ref, lb_ref, wq_ref,
     atts = []
     acc = jnp.zeros((t, d), jnp.float32)
     for head in range(num_heads):
-        hm = _head_mask(head, num_heads, d, cdt)
+        hm = hm_ref[head].astype(cdt)
         s = _head_scores(q, k, ws_ref, wc_ref, bh_ref, sin_ref, cos_ref,
                          hm, head, scale, ln, cdt)
         att = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
@@ -204,7 +206,7 @@ def _bwd_kernel(seed_ref, len_ref, x_ref, g_ref, ls_ref, lb_ref, wq_ref,
     dk = jnp.zeros((t, d), jnp.float32)
     dv = jnp.zeros((t, d), jnp.float32)
     for head in range(num_heads):
-        hm = _head_mask(head, num_heads, d, jnp.float32)
+        hm = hm_ref[head].astype(jnp.float32)
         att = atts[head]
         vm = vf * hm
         datt = jnp.dot(dacc, vm.T, preferred_element_type=jnp.float32)
@@ -285,31 +287,32 @@ def _mat_specs(d, num_heads, half):
     ]
 
 
-def _table_specs(t, half):
-    return [pl.BlockSpec((t, half), _const), pl.BlockSpec((t, half), _const)]
+def _table_specs(t, half, num_heads, d):
+    return [pl.BlockSpec((t, half), _const), pl.BlockSpec((t, half), _const),
+            pl.BlockSpec((num_heads, 1, d), lambda i, *_: (0, 0, 0))]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(18, 19, 20, 21, 22, 23,
-                                                    24))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(19, 20, 21, 22, 23, 24,
+                                                    25))
 def _fused_att_module(x, ls, lb, wq, bq, wk, bk, wv, bv, ws_s, ws_c, bh,
-                      wo, bo, sin_t, cos_t, lengths, seed,
+                      wo, bo, sin_t, cos_t, hm, lengths, seed,
                       num_heads, scale, ln_eps, drop_rate, train, residual,
                       interpret):
     y, _ = _fused_att_fwd(x, ls, lb, wq, bq, wk, bk, wv, bv, ws_s, ws_c,
-                          bh, wo, bo, sin_t, cos_t, lengths, seed,
+                          bh, wo, bo, sin_t, cos_t, hm, lengths, seed,
                           num_heads, scale, ln_eps, drop_rate, train,
                           residual, interpret)
     return y
 
 
 def _fused_att_fwd(x, ls, lb, wq, bq, wk, bk, wv, bv, ws_s, ws_c, bh, wo,
-                   bo, sin_t, cos_t, lengths, seed, num_heads, scale,
+                   bo, sin_t, cos_t, hm, lengths, seed, num_heads, scale,
                    ln_eps, drop_rate, train, residual, interpret):
     b, t, d = x.shape
     half = sin_t.shape[1]
     args = (ls.reshape(1, d), lb.reshape(1, d), wq, bq.reshape(1, d),
             wk, bk.reshape(1, d), wv, bv.reshape(1, d), ws_s, ws_c, bh,
-            wo, bo.reshape(1, d), sin_t, cos_t)
+            wo, bo.reshape(1, d), sin_t, cos_t, hm)
     y = pl.pallas_call(
         functools.partial(_fwd_kernel, num_heads=num_heads, scale=scale,
                           ln_eps=ln_eps, drop_rate=drop_rate, train=train,
@@ -317,27 +320,27 @@ def _fused_att_fwd(x, ls, lb, wq, bq, wk, bk, wv, bv, ws_s, ws_c, bh, wo,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2, grid=(b,),
             in_specs=([_seq_spec(t, d)] + _mat_specs(d, num_heads, half)
-                      + _table_specs(t, half)),
+                      + _table_specs(t, half, num_heads, d)),
             out_specs=_seq_spec(t, d),
         ),
         out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
         interpret=interpret,
     )(seed, lengths, x, *args)
     res = (x, ls, lb, wq, bq, wk, bk, wv, bv, ws_s, ws_c, bh, wo, bo,
-           sin_t, cos_t, lengths, seed)
+           sin_t, cos_t, hm, lengths, seed)
     return y, res
 
 
 def _fused_att_bwd(num_heads, scale, ln_eps, drop_rate, train, residual,
                    interpret, res, g):
     (x, ls, lb, wq, bq, wk, bk, wv, bv, ws_s, ws_c, bh, wo, bo,
-     sin_t, cos_t, lengths, seed) = res
+     sin_t, cos_t, hm, lengths, seed) = res
     b, t, d = x.shape
     half = sin_t.shape[1]
     g = g.astype(x.dtype)
     args = (ls.reshape(1, d), lb.reshape(1, d), wq, bq.reshape(1, d),
             wk, bk.reshape(1, d), wv, bv.reshape(1, d), ws_s, ws_c, bh,
-            wo, bo.reshape(1, d), sin_t, cos_t)
+            wo, bo.reshape(1, d), sin_t, cos_t, hm)
     f32 = jnp.float32
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, num_heads=num_heads, scale=scale,
@@ -347,7 +350,7 @@ def _fused_att_bwd(num_heads, scale, ln_eps, drop_rate, train, residual,
             num_scalar_prefetch=2, grid=(b,),
             in_specs=([_seq_spec(t, d), _seq_spec(t, d)]
                       + _mat_specs(d, num_heads, half)
-                      + _table_specs(t, half)),
+                      + _table_specs(t, half, num_heads, d)),
             out_specs=[_seq_spec(t, d),
                        pl.BlockSpec((1, d), _const),
                        pl.BlockSpec((1, d), _const),
@@ -395,7 +398,7 @@ def _fused_att_bwd(num_heads, scale, ln_eps, drop_rate, train, residual,
             dwc.astype(ws_c.dtype), dbh.astype(bh.dtype),
             dwo.astype(wo.dtype), dbo.reshape(d).astype(bo.dtype),
             jnp.zeros_like(sin_t), jnp.zeros_like(cos_t),
-            fl0(lengths), fl0(seed))
+            jnp.zeros_like(hm), fl0(lengths), fl0(seed))
 
 
 _fused_att_module.defvjp(_fused_att_fwd, _fused_att_bwd)
@@ -453,11 +456,12 @@ def fused_attention_module_3d(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv,
     ws_c = base_c[None] * hmask[:, :, None]
     bh = (pos_bias[None, :] * hmask).reshape(num_heads, 1, d)
     sin_t, cos_t = _pos_tables(t, d, x.dtype)
+    hm = jax.lax.stop_gradient(hmask).reshape(num_heads, 1, d).astype(x.dtype)
 
     return _fused_att_module(
         x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv,
         ws_s.astype(x.dtype), ws_c.astype(x.dtype), bh.astype(x.dtype),
-        wo, bo, sin_t, cos_t, lengths, seed,
+        wo, bo, sin_t, cos_t, hm, lengths, seed,
         int(num_heads), float(1.0 / math.sqrt(dh)), float(ln_eps),
         float(drop_rate), not deterministic, bool(residual), bool(interpret))
 

@@ -110,6 +110,7 @@ def bench_jax():
     # multi-device callers go through ops/pallas_ffn.fused_ffn_3d_dp).
     os.environ.setdefault("AVEC_TPU_FUSED_FFN", "1")
     fused_ffn = os.environ["AVEC_TPU_FUSED_FFN"] == "1"
+    fused_conv = os.environ.get("AVEC_TPU_FUSED_CONV", "") == "1"
 
     # Persistent compile cache: the AV train step is a large graph (~15-25 min
     # cold over the TPU tunnel); repeat bench runs must hit the cache.
@@ -161,15 +162,21 @@ def bench_jax():
     # credited to MFU).
     step_flops = None
     try:
-        if fused_ffn:
+        if fused_ffn or fused_conv:
+            # EVERY fused-kernel flag must be off for the cost compile —
+            # each pallas call is opaque to XLA cost analysis and would
+            # undercount model FLOPs (and so understate MFU).
             os.environ["AVEC_TPU_FUSED_FFN"] = "0"
+            os.environ["AVEC_TPU_FUSED_CONV"] = "0"
             try:
                 cost_step = model._build_train_step(accumulated_steps=1,
                                                     eval_training=False)
                 cost = cost_step.lower(state, gbatch,
                                        rng).compile().cost_analysis()
             finally:
-                os.environ["AVEC_TPU_FUSED_FFN"] = "1"
+                os.environ["AVEC_TPU_FUSED_FFN"] = "1" if fused_ffn else "0"
+                os.environ["AVEC_TPU_FUSED_CONV"] = ("1" if fused_conv
+                                                     else "0")
         else:
             cost = train_step.lower(state, gbatch,
                                     rng).compile().cost_analysis()
